@@ -1,0 +1,105 @@
+"""Scenario evaluation.
+
+Reference contract (src/pd_fusion/evaluation/evaluate.py:11-169): for each
+scenario, transform the availability masks (missingness engine), prepare
+model-family-specific inputs (flat+masked matrix / per-modality dict for
+MoE / None-ed bags for MIL), predict, compute the six metrics; optional
+subject-level aggregation (group mean of y_prob, first y_true) adds
+``subject_*``-prefixed metrics; ``compute_risk_coverage`` sorts by
+confidence and accumulates error vs coverage.
+
+The duplicated input-prep logic that the reference repeats in four places
+(evaluate.py:28-96, :101-138, run_experiment.py:133-160, :425-468) is a
+single ``predict_for_masks`` helper here. Metric computation is the fused
+XLA program in pd_fusion.ops.metrics; risk-coverage is a device sort/
+cumsum.
+"""
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+from pd_fusion.data.feature_utils import apply_masks_to_matrix
+from pd_fusion.data.missingness import apply_missingness_scenario, get_modality_mask_matrix
+from pd_fusion.data.preprocess import preprocess_features
+from pd_fusion.data.schema import TARGET_COL
+from pd_fusion.ops.metrics import risk_coverage as _risk_coverage_dev
+from pd_fusion.utils.metrics import compute_metrics
+
+
+def is_mil_prep(prep_info) -> bool:
+    return isinstance(prep_info, tuple) and len(prep_info) >= 2 and prep_info[0] == "mil"
+
+
+def is_moe_prep(prep_info) -> bool:
+    return isinstance(prep_info, dict)
+
+
+def predict_for_masks(model, df, masks: Dict[str, np.ndarray], prep_info) -> np.ndarray:
+    """Prepare family-specific inputs under the given masks and predict."""
+    if is_mil_prep(prep_info):
+        mil_col = prep_info[1]
+        bags = df[mil_col].tolist()
+        if "mri" in masks:
+            bags = [bag if m == 1 else None for bag, m in zip(bags, masks["mri"])]
+        return np.asarray(model.predict_proba(bags, masks=masks)).ravel()
+
+    if is_moe_prep(prep_info):
+        X_dict = {}
+        mods_used = list(prep_info.keys())
+        for mod in mods_used:
+            imputer, scaler, feats = prep_info[mod]
+            X_mod, _, _ = preprocess_features(df, feats, imputer, scaler)
+            if mod in masks:
+                X_mod = X_mod * np.asarray(masks[mod]).reshape(-1, 1)
+            X_dict[mod] = X_mod
+        mask_mat = np.stack([masks[m] for m in mods_used], axis=1).astype(np.float32)
+        return np.asarray(model.predict_proba(X_dict, mask_mat)).ravel()
+
+    imputer, scaler, feature_cols = prep_info
+    X, _, _ = preprocess_features(df, feature_cols, imputer, scaler)
+    X = apply_masks_to_matrix(X, masks, feature_cols)
+    if hasattr(model, "mask_dim"):
+        return np.asarray(
+            model.predict_proba(X, masks=get_modality_mask_matrix(masks))
+        ).ravel()
+    return np.asarray(model.predict_proba(X, masks=masks)).ravel()
+
+
+def _subject_metrics(df, group_col, y_true, y_prob):
+    tmp = pd.DataFrame({"group": df[group_col].values, "y_true": y_true, "y_prob": y_prob})
+    y_true_g = tmp.groupby("group")["y_true"].first().values
+    y_prob_g = tmp.groupby("group")["y_prob"].mean().values
+    return compute_metrics(y_true_g, y_prob_g)
+
+
+def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Dict[str, float]]:
+    results = {}
+    scenarios = config.get("scenarios", [{"name": "baseline", "drop_modalities": []}])
+    group_col = config.get("group_col")
+    y_true = df_test[TARGET_COL].values
+
+    for scenario in scenarios:
+        current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
+        y_prob = predict_for_masks(model, df_test, current_masks, prep_info)
+        metrics = compute_metrics(y_true, y_prob)
+        if group_col and group_col in df_test.columns:
+            for k, v in _subject_metrics(df_test, group_col, y_true, y_prob).items():
+                metrics[f"subject_{k}"] = v
+        results[scenario["name"]] = metrics
+
+    return results
+
+
+def predict_proba_for_scenario(model, df_test, mask_test, prep_info, scenario):
+    """(y_true, y_prob) for one scenario — used for fold-prediction CSVs."""
+    current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
+    y_true = df_test[TARGET_COL].values
+    return y_true, predict_for_masks(model, df_test, current_masks, prep_info)
+
+
+def compute_risk_coverage(y_true, y_prob, masks=None) -> Dict[str, np.ndarray]:
+    out = _risk_coverage_dev(
+        np.asarray(y_true, np.float32), np.asarray(y_prob, np.float32)
+    )
+    return {"coverage": np.asarray(out["coverage"]), "risk": np.asarray(out["risk"])}

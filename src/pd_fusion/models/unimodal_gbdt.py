@@ -1,0 +1,71 @@
+"""Unimodal gradient-boosted trees (reference: src/pd_fusion/models/
+unimodal_gbdt.py:6-26 wraps LGBMClassifier).
+
+Tree boosting is not a TPU-shaped workload (SURVEY §2.3 M8): this stays a
+host-side component with the reference's own fallback chain extended —
+lightgbm -> xgboost -> sklearn HistGradientBoostingClassifier (the chain
+the reference uses in scripts/ppmi_train_tabular.py:109-142). In this
+image lightgbm/xgboost are absent, so HistGB is the active backend; its
+params are translated from the lgbm naming.
+"""
+from pd_fusion.models.base import BaseModel
+from pd_fusion.utils.io import load_pickle, save_pickle
+
+try:  # pragma: no cover - not present in this image
+    import lightgbm as lgb
+
+    _BACKEND = "lightgbm"
+except Exception:
+    lgb = None
+    try:  # pragma: no cover
+        import xgboost as xgb
+
+        _BACKEND = "xgboost"
+    except Exception:
+        xgb = None
+        _BACKEND = "histgb"
+
+
+def _translate_params_histgb(params):
+    """Map the lgbm-style config params onto HistGradientBoosting."""
+    out = {}
+    if "n_estimators" in params:
+        out["max_iter"] = int(params["n_estimators"])
+    if "learning_rate" in params:
+        out["learning_rate"] = float(params["learning_rate"])
+    if "max_depth" in params:
+        out["max_depth"] = int(params["max_depth"])
+    if "random_state" in params:
+        out["random_state"] = int(params["random_state"])
+    return out
+
+
+class UnimodalGBDT(BaseModel):
+    def __init__(self, mod_name, params=None):
+        self.mod_name = mod_name
+        self.params = params or {}
+        self.backend = _BACKEND
+        if _BACKEND == "lightgbm":  # pragma: no cover
+            self.model = lgb.LGBMClassifier(**self.params)
+        elif _BACKEND == "xgboost":  # pragma: no cover
+            self.model = xgb.XGBClassifier(**self.params)
+        else:
+            from sklearn.ensemble import HistGradientBoostingClassifier
+
+            self.model = HistGradientBoostingClassifier(**_translate_params_histgb(self.params))
+
+    def train(self, X, y, val_data=None):
+        if self.backend == "lightgbm" and val_data:  # pragma: no cover
+            self.model.fit(X, y, eval_set=[val_data])
+        else:
+            self.model.fit(X, y)
+
+    def predict_proba(self, X, masks=None):
+        return self.model.predict_proba(X)[:, 1]
+
+    def save(self, path):
+        save_pickle(self, path)
+
+    @classmethod
+    def load(cls, path):
+        return load_pickle(path)

@@ -1,0 +1,74 @@
+"""Functional MLP core shared by every tabular model family.
+
+The reference builds four near-identical torch ``nn.Sequential`` stacks
+(fusion_late / fusion_masked / fusion_moddrop / unimodal_mlp — reference
+models/fusion_late.py:6-22, fusion_moddrop.py:24-41). Here there is ONE
+pure-functional MLP over a params pytree; model families differ only in
+their input transform (mask concat, modality dropout), which is fused into
+the jitted train step.
+
+Initialization matches torch ``nn.Linear`` defaults (kaiming-uniform
+U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for W and b) so learning dynamics are
+statistically comparable to the reference even though the RNG stream is
+jax.random rather than torch.
+
+Numerics: the network returns LOGITS; losses use the softplus form of BCE
+(bce = softplus(z) - y*z) instead of the reference's Sigmoid+BCELoss,
+which is mathematically identical but stable in bf16/f32 on TPU.
+"""
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = List[Dict[str, jax.Array]]
+
+
+def mlp_init(key: jax.Array, dims: Sequence[int]) -> Params:
+    """dims = [in, h1, ..., hk, out]."""
+    params: Params = []
+    for i in range(len(dims) - 1):
+        key, wk, bk = jax.random.split(key, 3)
+        fan_in = dims[i]
+        bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
+        w = jax.random.uniform(wk, (dims[i], dims[i + 1]), jnp.float32, -bound, bound)
+        b = jax.random.uniform(bk, (dims[i + 1],), jnp.float32, -bound, bound)
+        params.append({"w": w, "b": b})
+    return params
+
+
+def mlp_apply(
+    params: Params,
+    x: jax.Array,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Forward pass -> logits [N]. Hidden layers: Linear-ReLU-Dropout.
+
+    Dropout is inverted (scale by 1/keep) and only applied when a key is
+    provided (i.e. during training), mirroring torch semantics.
+    """
+    h = x
+    n_layers = len(params)
+    for i, layer in enumerate(params):
+        h = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+            if dropout_rate > 0.0 and dropout_key is not None:
+                dropout_key, sub = jax.random.split(dropout_key)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    return h[..., 0]
+
+
+def bce_with_logits(logits: jax.Array, y: jax.Array, weights: Optional[jax.Array] = None) -> jax.Array:
+    """Weighted-mean binary cross-entropy on logits.
+
+    Padded samples (weight 0) contribute nothing; the mean divides by the
+    total weight so a padded batch reproduces the unpadded batch mean.
+    """
+    l = jax.nn.softplus(logits) - y * logits
+    if weights is None:
+        return jnp.mean(l)
+    return jnp.sum(l * weights) / jnp.maximum(jnp.sum(weights), 1e-38)

@@ -1,0 +1,151 @@
+"""Jitted training loops for the tabular model families.
+
+TPU design: the reference runs a Python loop of epochs (and minibatches)
+dispatching one tiny torch graph per step (reference fusion_late.py:36-48,
+fusion_moddrop.py:69-91). Here the ENTIRE optimization — every epoch and
+minibatch, including per-epoch permutations and per-batch modality-dropout
+draws — is a single compiled XLA program built from ``lax.scan``. All
+shapes are static: partial final minibatches are expressed as padded
+index blocks with zero sample-weights (exactly reproducing per-batch-mean
+gradients), which is also what makes the whole trainer ``vmap``-able over
+a leading fold axis for the one-shot K-fold CV engine (pd_fusion.parallel).
+
+Optimizer parity: optax.chain(add_decayed_weights, adam) == torch.optim.
+Adam(lr, weight_decay) (L2 added to the gradient before the moments).
+"""
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pd_fusion.nn.mlp import Params, bce_with_logits, mlp_apply
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0):
+    if weight_decay and weight_decay > 0.0:
+        return optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr))
+    return optax.adam(lr)
+
+
+class TrainConfig(NamedTuple):
+    lr: float = 1e-3
+    epochs: int = 50
+    batch_size: int = 0  # 0 => full batch
+    dropout: float = 0.2
+    weight_decay: float = 0.0
+    moddrop_rate: float = 0.0  # per-batch whole-modality dropout prob
+
+
+def _loss(params, X, y, w, dropout_rate, key):
+    logits = mlp_apply(params, X, dropout_rate=dropout_rate, dropout_key=key)
+    return bce_with_logits(logits, y, w)
+
+
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def train_fullbatch(
+    params: Params,
+    X: jax.Array,
+    y: jax.Array,
+    w: Optional[jax.Array],
+    key: jax.Array,
+    lr: float,
+    epochs: int,
+    dropout: float = 0.2,
+    weight_decay: float = 0.0,
+) -> Params:
+    """Full-batch Adam for `epochs` steps (reference fusion_late.py:36-48:
+    no minibatching, no early stopping) — one lax.scan on device."""
+    tx = make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params)
+
+    def step(carry, k):
+        p, s = carry
+        grads = jax.grad(_loss)(p, X, y, w, dropout, k)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), None
+
+    keys = jax.random.split(key, epochs)
+    (params, _), _ = jax.lax.scan(step, (params, opt_state), keys)
+    return params
+
+
+@partial(
+    jax.jit,
+    static_argnames=("epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate"),
+)
+def train_minibatch_moddrop(
+    params: Params,
+    X: jax.Array,
+    y: jax.Array,
+    w: jax.Array,
+    assign: jax.Array,  # [F, M] feature->modality one-hot
+    key: jax.Array,
+    lr: float,
+    epochs: int,
+    batch_size: int,
+    dropout: float = 0.2,
+    weight_decay: float = 0.0,
+    moddrop_rate: float = 0.2,
+) -> Params:
+    """Minibatch Adam with per-batch whole-modality dropout (reference
+    fusion_moddrop.py:44-91: one Bernoulli draw per modality per BATCH,
+    the same mask applied to every sample in the batch).
+
+    The modality-dropout mask is fused into the forward pass: batch X is
+    multiplied by ``1 - assign @ (1 - keep)`` before the MLP, with keep ~
+    Bernoulli(1 - moddrop_rate) per modality per minibatch.
+    """
+    n, _ = X.shape
+    n_batches = -(-n // batch_size)
+    pad = n_batches * batch_size - n
+    tx = make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params)
+    n_mod = assign.shape[1]
+
+    def batch_loss(p, Xb, yb, wb, keep_mods, dk):
+        feat_keep = 1.0 - jnp.dot(assign, 1.0 - keep_mods)
+        Xb = Xb * feat_keep[None, :]
+        logits = mlp_apply(p, Xb, dropout_rate=dropout, dropout_key=dk)
+        return bce_with_logits(logits, yb, wb)
+
+    def epoch_step(carry, ek):
+        p, s = carry
+        perm_key, ek = jax.random.split(ek)
+        perm = jax.random.permutation(perm_key, n)
+        idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)]).reshape(
+            n_batches, batch_size
+        )
+        wpad = jnp.concatenate([w[perm], jnp.zeros((pad,), X.dtype)]).reshape(
+            n_batches, batch_size
+        )
+        bkeys = jax.random.split(ek, n_batches)
+
+        def batch_step(c, inp):
+            p, s = c
+            bidx, bw, bk = inp
+            mk, dk = jax.random.split(bk)
+            keep = jax.random.bernoulli(mk, 1.0 - moddrop_rate, (n_mod,)).astype(X.dtype)
+            grads = jax.grad(batch_loss)(p, X[bidx], y[bidx], bw, keep, dk)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (p, s), _ = jax.lax.scan(batch_step, (p, s), (idx, wpad, bkeys))
+        return (p, s), None
+
+    ekeys = jax.random.split(key, epochs)
+    (params, _), _ = jax.lax.scan(epoch_step, (params, opt_state), ekeys)
+    return params
+
+
+@jax.jit
+def predict_logits(params: Params, X: jax.Array) -> jax.Array:
+    return mlp_apply(params, X)
+
+
+@jax.jit
+def predict_proba_jit(params: Params, X: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(mlp_apply(params, X))

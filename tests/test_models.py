@@ -1,0 +1,162 @@
+"""Model-family tests: each family learns a separable synthetic problem and
+round-trips through save/load."""
+import numpy as np
+import pytest
+
+from pd_fusion.utils.seed import set_seed
+
+
+def _separable(n=300, d=6, seed=0):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 2, n)
+    X = rng.randn(n, d) + y[:, None] * 1.5
+    return X.astype(np.float32), y
+
+
+def _auc(y, p):
+    from sklearn.metrics import roc_auc_score
+
+    return roc_auc_score(y, p)
+
+
+def test_fusion_late_learns(tmp_path):
+    from pd_fusion.models.fusion_late import LateFusionModel
+
+    set_seed(0)
+    X, y = _separable()
+    m = LateFusionModel(6, {"hidden_dims": [16, 8], "dropout": 0.1, "lr": 0.01, "epochs": 200})
+    m.train(X, y)
+    assert _auc(y, m.predict_proba(X)) > 0.9
+
+    m.save(tmp_path / "m.pt")
+    m2 = LateFusionModel.load(tmp_path / "m.pt")
+    np.testing.assert_allclose(m.predict_proba(X), m2.predict_proba(X), atol=1e-6)
+
+
+def test_fusion_masked_appends_mask(tmp_path):
+    from pd_fusion.models.fusion_masked import MaskedFusionModel
+
+    set_seed(0)
+    X, y = _separable()
+    mask = np.ones((len(X), 3), np.float32)
+    Xm = np.concatenate([X, mask], axis=1)
+    m = MaskedFusionModel(6, 3, {"hidden_dims": [16], "dropout": 0.0, "lr": 0.01, "epochs": 150})
+    m.train(Xm, y)
+    assert hasattr(m, "mask_dim")
+    p = m.predict_proba(X, masks=mask)  # mask concat happens inside
+    assert _auc(y, p) > 0.85
+
+
+def test_fusion_moddrop_trains_and_respects_masks():
+    from pd_fusion.models.fusion_moddrop import ModalityDropoutModel
+
+    set_seed(0)
+    n = 240
+    rng = np.random.RandomState(1)
+    y = rng.randint(0, 2, n)
+    # only the 'clinical' block is informative
+    Xc = rng.randn(n, 4) + y[:, None] * 2.0
+    Xd = rng.randn(n, 3)
+    Xm = rng.randn(n, 5)
+    X = np.concatenate([Xc, Xd, Xm], axis=1).astype(np.float32)
+    mod_dims = {"clinical": 4, "datspect": 3, "mri": 5}
+    m = ModalityDropoutModel(
+        mod_dims,
+        {"hidden_dims": [16, 8], "dropout": 0.1, "lr": 0.01, "batch_size": 32, "epochs": 60,
+         "moddrop_rate": 0.3},
+    )
+    m.train(X, y)
+    full_masks = {k: np.ones(n, dtype=int) for k in mod_dims}
+    assert _auc(y, m.predict_proba(X, full_masks)) > 0.85
+
+    # zeroing the informative modality must hurt
+    drop_clin = dict(full_masks)
+    drop_clin["clinical"] = np.zeros(n, dtype=int)
+    auc_dropped = _auc(y, m.predict_proba(X, drop_clin))
+    assert auc_dropped < 0.75
+
+
+def test_moe_router_uses_mask(tmp_path):
+    from pd_fusion.models.moe import MoEModel
+
+    set_seed(0)
+    n = 300
+    rng = np.random.RandomState(2)
+    y = rng.randint(0, 2, n)
+    X_dict = {
+        "clinical": (rng.randn(n, 4) + y[:, None] * 1.5).astype(np.float32),
+        "datspect": (rng.randn(n, 3) + y[:, None] * 1.5).astype(np.float32),
+    }
+    mask = np.ones((n, 2), np.float32)
+    m = MoEModel(
+        {"clinical": 4, "datspect": 3},
+        {"expert_hidden_dims": [16, 8], "router_hidden_dims": [8], "lr": 0.01, "epochs": 200},
+    )
+    m.train(X_dict, y, mask)
+    p = m.predict_proba(X_dict, mask)
+    assert _auc(y, p) > 0.85
+    m.save(tmp_path / "moe.pt")
+    m2 = MoEModel.load(tmp_path / "moe.pt")
+    np.testing.assert_allclose(p, m2.predict_proba(X_dict, mask), atol=1e-6)
+
+
+def test_constant_model():
+    from pd_fusion.models.dummy import ConstantProbabilityModel
+
+    m = ConstantProbabilityModel()
+    y = np.array([1, 1, 1, 0])
+    m.train(np.zeros((4, 1)), y)
+    assert np.allclose(m.predict_proba(np.zeros((7, 1))), 0.75)
+
+
+def test_gbdt_fallback_backend():
+    from pd_fusion.models.unimodal_gbdt import UnimodalGBDT
+
+    X, y = _separable(200, 5, seed=3)
+    m = UnimodalGBDT("clinical", {"n_estimators": 50, "learning_rate": 0.1, "max_depth": 3,
+                                  "random_state": 0})
+    m.train(X, y)
+    assert _auc(y, m.predict_proba(X)) > 0.9
+
+
+def test_calibration_wrapper_improves_or_keeps_probs():
+    from pd_fusion.models.calibrate import CalibratedModel
+    from pd_fusion.models.unimodal_gbdt import UnimodalGBDT
+
+    X, y = _separable(400, 5, seed=4)
+    m = UnimodalGBDT("clinical", {"n_estimators": 30, "random_state": 0})
+    m.train(X[:200], y[:200])
+    cal = CalibratedModel(m, method="isotonic")
+    cal.fit(X[200:], y[200:])
+    p = cal.predict_proba(X[200:])
+    assert p.min() >= 0 and p.max() <= 1
+    # isotonic on the calibration set is monotone in the base scores
+    base = m.predict_proba(X[200:])
+    order = np.argsort(base)
+    assert (np.diff(p[order]) >= -1e-9).all()
+
+
+def test_conformal_wrapper_thresholds_and_abstention():
+    from pd_fusion.models.conformal import MaskConformalWrapper
+    from pd_fusion.models.dummy import ConstantProbabilityModel
+
+    class FakeModel:
+        def predict_proba(self, X, masks=None):
+            return np.asarray(X).ravel()
+
+    n = 100
+    rng = np.random.RandomState(0)
+    probs = rng.rand(n)
+    y = (probs > 0.4).astype(int)
+    masks = {"clinical": np.ones(n, int), "datspect": rng.randint(0, 2, n), "mri": np.ones(n, int)}
+    w = MaskConformalWrapper(FakeModel(), alpha=0.2)
+    w.fit(probs.reshape(-1, 1), y, masks)
+    assert w.global_threshold > 0
+    p, abstain = w.predict(probs.reshape(-1, 1), masks)
+    # abstention triggers exactly where min(p, 1-p) exceeds the group threshold
+    scores = np.minimum(p, 1 - p)
+    mask_mat = np.stack([masks[k] for k in sorted(masks)], axis=1)
+    for i in range(n):
+        key = "".join(str(int(v)) for v in mask_mat[i])
+        thr = w.thresholds.get(key, w.global_threshold)
+        assert abstain[i] == (scores[i] > thr)
