@@ -260,8 +260,43 @@ def run_cv_pipeline(config_path: str, k: int = 5, synthetic: bool = False, overr
         fold_df = fold_df[keep]
     fold_df.to_csv(run_dir / "fold_assignments.csv", index=False)
 
+    from pd_fusion.parallel.cv_engine import run_parallel_cv, supports_parallel_cv
+    from pd_fusion.training.train import _resolve_params
+
     metrics_all = []
-    for i, (train_df, val_df) in enumerate(folds):
+    if supports_parallel_cv(config):
+        # one-program vmapped CV: all folds train simultaneously on device
+        logger.info(f"Running vmapped parallel CV over {k} folds (one XLA program)")
+        _resolve_params(config, config["model_type"])
+        metrics_all, fold_preds = run_parallel_cv(config, df, masks, folds, eval_config)
+        for i, res in enumerate(metrics_all):
+            res["fold"] = i + 1
+            save_yaml(res, run_dir / f"results_fold_{i + 1}.yaml")
+            y_true, y_prob = fold_preds[i]
+            val_df = folds[i][1]
+            pred_df = pd.DataFrame({"y_true": y_true.astype(int), "y_prob": y_prob, "fold": i + 1})
+            if group_col and group_col in val_df.columns:
+                pred_df[group_col] = val_df[group_col].values
+            if "session" in val_df.columns:
+                pred_df["session"] = val_df["session"].values
+            pred_df.to_csv(run_dir / f"preds_fold_{i + 1}_full_observation.csv", index=False)
+        if config.get("cv_plot_example", False):
+            fold1 = {kk: v for kk, v in metrics_all[0].items() if kk != "fold"}
+            plot_degradation_curve(fold1, run_dir / "degradation_fold1.png")
+            y_true, y_prob = fold_preds[0]
+            plot_roc_curve(y_true, y_prob, run_dir / "roc_curve_fold1.png")
+            plot_pr_curve(y_true, y_prob, run_dir / "pr_curve_fold1.png")
+            plot_calibration_curve_func(
+                y_true, y_prob, run_dir / "calibration_fold1.png", config["model_type"]
+            )
+            if config.get("risk_coverage", True):
+                rc = compute_risk_coverage(y_true, y_prob, None)
+                plot_risk_coverage(rc, run_dir / "risk_coverage_fold1.png")
+        folds_iter = []
+    else:
+        folds_iter = list(enumerate(folds))
+
+    for i, (train_df, val_df) in folds_iter:
         logger.info(f"--- Fold {i + 1}/{k} ---")
         train_masks = get_subset_masks(masks, train_df.index)
         val_masks = get_subset_masks(masks, val_df.index)

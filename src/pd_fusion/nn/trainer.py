@@ -43,8 +43,7 @@ def _loss(params, X, y, w, dropout_rate, key):
     return bce_with_logits(logits, y, w)
 
 
-@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
-def train_fullbatch(
+def fullbatch_impl(
     params: Params,
     X: jax.Array,
     y: jax.Array,
@@ -55,8 +54,8 @@ def train_fullbatch(
     dropout: float = 0.2,
     weight_decay: float = 0.0,
 ) -> Params:
-    """Full-batch Adam for `epochs` steps (reference fusion_late.py:36-48:
-    no minibatching, no early stopping) — one lax.scan on device."""
+    """Unjitted full-batch Adam body — vmappable over a fold axis by the
+    parallel CV engine; the jitted single-model wrapper is below."""
     tx = make_optimizer(lr, weight_decay)
     opt_state = tx.init(params)
 
@@ -72,11 +71,24 @@ def train_fullbatch(
     return params
 
 
-@partial(
-    jax.jit,
-    static_argnames=("epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate"),
-)
-def train_minibatch_moddrop(
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def train_fullbatch(
+    params: Params,
+    X: jax.Array,
+    y: jax.Array,
+    w: Optional[jax.Array],
+    key: jax.Array,
+    lr: float,
+    epochs: int,
+    dropout: float = 0.2,
+    weight_decay: float = 0.0,
+) -> Params:
+    """Full-batch Adam for `epochs` steps (reference fusion_late.py:36-48:
+    no minibatching, no early stopping) — one lax.scan on device."""
+    return fullbatch_impl(params, X, y, w, key, lr, epochs, dropout, weight_decay)
+
+
+def minibatch_moddrop_impl(
     params: Params,
     X: jax.Array,
     y: jax.Array,
@@ -139,6 +151,29 @@ def train_minibatch_moddrop(
     ekeys = jax.random.split(key, epochs)
     (params, _), _ = jax.lax.scan(epoch_step, (params, opt_state), ekeys)
     return params
+
+
+@partial(
+    jax.jit,
+    static_argnames=("epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate"),
+)
+def train_minibatch_moddrop(
+    params: Params,
+    X: jax.Array,
+    y: jax.Array,
+    w: jax.Array,
+    assign: jax.Array,
+    key: jax.Array,
+    lr: float,
+    epochs: int,
+    batch_size: int,
+    dropout: float = 0.2,
+    weight_decay: float = 0.0,
+    moddrop_rate: float = 0.2,
+) -> Params:
+    return minibatch_moddrop_impl(
+        params, X, y, w, assign, key, lr, epochs, batch_size, dropout, weight_decay, moddrop_rate
+    )
 
 
 @jax.jit
