@@ -1,0 +1,121 @@
+"""Imaging kernel parity tests vs the scipy/torch oracles the reference
+uses (reference data/openneuro_features.py)."""
+import numpy as np
+import pytest
+
+from pd_fusion.imaging.nifti import read_nifti, write_nifti
+from pd_fusion.ops.image import (
+    affine2d_batch,
+    percentile_normalize,
+    resize2d_halfpix,
+    resize3d,
+    take_slices,
+    zscore_volume,
+)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.rand(13, 17, 11).astype(np.float32)
+    for name in ("a.nii", "b.nii.gz"):
+        p = tmp_path / name
+        write_nifti(p, vol)
+        back = read_nifti(p)
+        np.testing.assert_allclose(back, vol, atol=1e-6)
+
+
+def test_nifti_int16_with_scaling(tmp_path):
+    rng = np.random.RandomState(1)
+    vol = (rng.rand(8, 9, 10) * 1000).astype(np.int16)
+    p = tmp_path / "c.nii"
+    write_nifti(p, vol)
+    back = read_nifti(p)
+    np.testing.assert_allclose(back, vol.astype(np.float32), atol=1e-3)
+
+
+def test_resize3d_matches_scipy_zoom():
+    from scipy import ndimage
+
+    rng = np.random.RandomState(0)
+    vol = rng.rand(20, 24, 18).astype(np.float32)
+    target = (12, 12, 12)
+    zoom = [t / s for t, s in zip(target, vol.shape)]
+    expect = ndimage.zoom(vol, zoom, order=1)
+    got = np.asarray(resize3d(vol, target))
+    assert got.shape == expect.shape
+    # scipy's spline prefilter is identity at order=1; grids match
+    np.testing.assert_allclose(got, expect, atol=2e-3)
+
+
+def test_resize2d_matches_torch_bilinear():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(4, 30, 40).astype(np.float32)
+    expect = (
+        F.interpolate(
+            torch.from_numpy(img).unsqueeze(1), size=(224, 224), mode="bilinear",
+            align_corners=False,
+        )
+        .squeeze(1)
+        .numpy()
+    )
+    got = np.asarray(resize2d_halfpix(img, (224, 224)))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_percentile_normalize_matches_reference_semantics():
+    rng = np.random.RandomState(0)
+    vol = rng.rand(16, 16, 16).astype(np.float32) * 100
+    vol[vol < 30] = 0.0  # background
+    mask = vol > 0
+    vals = vol[mask]
+    lo, hi = np.percentile(vals, 1), np.percentile(vals, 99)
+    expect = np.clip(vol, lo, hi)
+    expect = (expect - lo) / (hi - lo + 1e-6)
+    got = np.asarray(percentile_normalize(vol))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_take_slices_matches_reference_when_extent_sufficient():
+    rng = np.random.RandomState(0)
+    vol = np.zeros((32, 32, 32), np.float32)
+    vol[4:28, 4:28, 6:30] = rng.rand(24, 24, 24) + 0.1
+    for axis in (0, 1, 2):
+        # numpy oracle (reference _select_slices semantics)
+        other = tuple(i for i in range(3) if i != axis)
+        nz = np.any(vol > 0, axis=other)
+        idxs = np.where(nz)[0]
+        lo, hi = idxs[0], idxs[-1]
+        count = 8
+        indices = np.linspace(lo, hi, count).astype(int)
+        expect = np.take(vol, indices, axis=axis)
+        if axis == 1:
+            expect = expect.transpose(1, 0, 2)
+        elif axis == 2:
+            expect = expect.transpose(2, 0, 1)
+        got = np.asarray(take_slices(vol, axis, count))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_affine2d_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 44).astype(np.float32)
+    angle, translate = 4.0, np.array([1.5, -2.0])
+    theta = np.deg2rad(angle)
+    rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    center = np.array(img.shape) / 2.0
+    offset = center - rot @ center + translate
+    expect = ndimage.affine_transform(img, rot, offset=offset, order=1, mode="constant", cval=0.0)
+    got = np.asarray(affine2d_batch(img[None], np.float32(angle), translate.astype(np.float32)))[0]
+    np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+def test_zscore_volume():
+    rng = np.random.RandomState(0)
+    vol = rng.rand(8, 8, 8).astype(np.float32) * 7 + 3
+    got = np.asarray(zscore_volume(vol))
+    np.testing.assert_allclose(got, (vol - vol.mean()) / (vol.std() + 1e-6), atol=1e-4)
