@@ -1,0 +1,253 @@
+"""Functional ResNet-18/50 in JAX (NHWC, TPU-native).
+
+Replaces the reference's torchvision backbone (reference data/
+openneuro_features.py:153-164 builds resnet18/50 with fc=Identity and runs
+slice batches through it). Design:
+- NHWC layout + lax.conv_general_dilated: the layout XLA prefers on TPU
+  (channels on the 128-lane axis; convs hit the MXU).
+- Params are a pytree whose structure mirrors torchvision's state_dict
+  names, so ``convert_torch_state_dict`` is a mechanical transpose — when
+  a user supplies real ImageNet weights (torchvision .pth or an exported
+  .npz) the embeddings match the reference's. In this zero-egress image
+  no pretrained weights exist, so ``init_resnet`` provides a seeded
+  He-normal init and the builders record ``pretrained: false`` in their
+  cache metadata (documented deviation — the reference would have
+  downloaded ImageNet weights).
+- BatchNorm: inference mode uses running stats folded to scale/bias;
+  train mode (fine-tune path) uses batch statistics (running stats are
+  not updated — the fine-tune loop always evaluates with train=False
+  semantics of the *initial* running stats; documented).
+
+ImageNet preprocessing constants (mean/std) match torchvision's
+weights.meta (reference :215-222).
+"""
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_CONFIGS = {
+    "resnet18": {"block": "basic", "layers": [2, 2, 2, 2], "expansion": 1, "emb_dim": 512},
+    "resnet50": {"block": "bottleneck", "layers": [3, 4, 6, 3], "expansion": 4, "emb_dim": 2048},
+}
+
+
+def _conv(x, w, stride=1, padding=None):
+    # torch uses symmetric padding k//2; XLA's "SAME" is asymmetric for
+    # even strides, so pad explicitly for exact torch parity
+    if padding is None:
+        kh, kw = w.shape[0], w.shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bn(x, p, train: bool):
+    if train:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+    else:
+        mean, var = p["mean"], p["var"]
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return (x - mean) * inv * p["gamma"] + p["beta"]
+
+
+def _he_conv(key, kh, kw, cin, cout):
+    fan_out = kh * kw * cout  # torch kaiming fan_out mode for resnet convs
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c):
+    return {
+        "gamma": jnp.ones((c,), jnp.float32),
+        "beta": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def init_resnet(key, arch: str = "resnet18") -> Dict[str, Any]:
+    cfg = _CONFIGS[arch]
+    exp = cfg["expansion"]
+    params: Dict[str, Any] = {}
+    key, k = jax.random.split(key)
+    params["conv1"] = {"w": _he_conv(k, 7, 7, 3, 64)}
+    params["bn1"] = _bn_init(64)
+
+    cin = 64
+    for li, (n_blocks, cout) in enumerate(zip(cfg["layers"], [64, 128, 256, 512])):
+        blocks: List[Dict[str, Any]] = []
+        for bi in range(n_blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            block: Dict[str, Any] = {}
+            if cfg["block"] == "basic":
+                key, k1, k2, kd = jax.random.split(key, 4)
+                block["conv1"] = {"w": _he_conv(k1, 3, 3, cin, cout)}
+                block["bn1"] = _bn_init(cout)
+                block["conv2"] = {"w": _he_conv(k2, 3, 3, cout, cout)}
+                block["bn2"] = _bn_init(cout)
+                out_c = cout
+            else:
+                key, k1, k2, k3, kd = jax.random.split(key, 5)
+                block["conv1"] = {"w": _he_conv(k1, 1, 1, cin, cout)}
+                block["bn1"] = _bn_init(cout)
+                block["conv2"] = {"w": _he_conv(k2, 3, 3, cout, cout)}
+                block["bn2"] = _bn_init(cout)
+                block["conv3"] = {"w": _he_conv(k3, 1, 1, cout, cout * exp)}
+                block["bn3"] = _bn_init(cout * exp)
+                out_c = cout * exp
+            if stride != 1 or cin != out_c:
+                block["downsample"] = {
+                    "conv": {"w": _he_conv(kd, 1, 1, cin, out_c)},
+                    "bn": _bn_init(out_c),
+                }
+            blocks.append(block)
+            cin = out_c
+        params[f"layer{li + 1}"] = blocks
+    return params
+
+
+def _basic_block(x, p, stride, train):
+    identity = x
+    out = _conv(x, p["conv1"]["w"], stride=stride)
+    out = jax.nn.relu(_bn(out, p["bn1"], train))
+    out = _conv(out, p["conv2"]["w"], stride=1)
+    out = _bn(out, p["bn2"], train)
+    if "downsample" in p:
+        identity = _bn(_conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], train)
+    return jax.nn.relu(out + identity)
+
+
+def _bottleneck_block(x, p, stride, train):
+    identity = x
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"]["w"], stride=1), p["bn1"], train))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"]["w"], stride=stride), p["bn2"], train))
+    out = _bn(_conv(out, p["conv3"]["w"], stride=1), p["bn3"], train)
+    if "downsample" in p:
+        identity = _bn(_conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], train)
+    return jax.nn.relu(out + identity)
+
+
+def resnet_apply(params, x, arch: str = "resnet18", train: bool = False):
+    """x: [N, H, W, 3] -> embeddings [N, emb_dim] (global-avg-pooled; the
+    classification fc is never constructed, matching fc=Identity)."""
+    cfg = _CONFIGS[arch]
+    block_fn = _basic_block if cfg["block"] == "basic" else _bottleneck_block
+
+    out = _conv(x, params["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
+    out = jax.nn.relu(_bn(out, params["bn1"], train))
+    # torch maxpool(3, stride 2, padding 1): pad with -inf then reduce
+    out = jax.lax.reduce_window(
+        out,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for li in range(4):
+        for bi, block in enumerate(params[f"layer{li + 1}"]):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out = block_fn(out, block, stride, train)
+    return jnp.mean(out, axis=(1, 2))  # global average pool -> [N, emb_dim]
+
+
+def emb_dim(arch: str) -> int:
+    return _CONFIGS[arch]["emb_dim"]
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_state_dict(sd: Dict[str, Any], arch: str = "resnet18") -> Dict[str, Any]:
+    """Map a torchvision resnet state_dict (tensors or numpy arrays) onto
+    our pytree. Conv weights [O,I,KH,KW] -> HWIO."""
+
+    def arr(v):
+        a = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        return jnp.asarray(a, jnp.float32)
+
+    def conv_w(name):
+        return {"w": jnp.transpose(arr(sd[name]), (2, 3, 1, 0))}
+
+    def bn_p(prefix):
+        return {
+            "gamma": arr(sd[f"{prefix}.weight"]),
+            "beta": arr(sd[f"{prefix}.bias"]),
+            "mean": arr(sd[f"{prefix}.running_mean"]),
+            "var": arr(sd[f"{prefix}.running_var"]),
+        }
+
+    cfg = _CONFIGS[arch]
+    params: Dict[str, Any] = {
+        "conv1": conv_w("conv1.weight"),
+        "bn1": bn_p("bn1"),
+    }
+    n_convs = 2 if cfg["block"] == "basic" else 3
+    for li, n_blocks in enumerate(cfg["layers"]):
+        blocks = []
+        for bi in range(n_blocks):
+            pre = f"layer{li + 1}.{bi}"
+            block: Dict[str, Any] = {}
+            for ci in range(1, n_convs + 1):
+                block[f"conv{ci}"] = conv_w(f"{pre}.conv{ci}.weight")
+                block[f"bn{ci}"] = bn_p(f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv": conv_w(f"{pre}.downsample.0.weight"),
+                    "bn": bn_p(f"{pre}.downsample.1"),
+                }
+            blocks.append(block)
+        params[f"layer{li + 1}"] = blocks
+    return params
+
+
+def load_backbone(arch: str = "resnet18", weights_path=None, seed: int = 0):
+    """Build backbone params: from an .npz/.pth export when provided (or
+    via torchvision if importable with cached weights), else seeded
+    random init. Returns (params, emb_dim, pretrained: bool)."""
+    if weights_path is not None:
+        import pickle
+
+        p = str(weights_path)
+        if p.endswith(".npz"):
+            data = np.load(p)
+            sd = {k: data[k] for k in data.files}
+        else:
+            try:
+                import torch
+
+                sd = torch.load(p, map_location="cpu", weights_only=True)
+            except Exception:
+                with open(p, "rb") as f:
+                    sd = pickle.load(f)
+        return convert_torch_state_dict(sd, arch), _CONFIGS[arch]["emb_dim"], True
+
+    try:  # pragma: no cover - torchvision absent in this image
+        from torchvision.models import ResNet18_Weights, ResNet50_Weights, resnet18, resnet50
+
+        if arch == "resnet50":
+            model = resnet50(weights=ResNet50_Weights.DEFAULT)
+        else:
+            model = resnet18(weights=ResNet18_Weights.DEFAULT)
+        return (
+            convert_torch_state_dict(model.state_dict(), arch),
+            _CONFIGS[arch]["emb_dim"],
+            True,
+        )
+    except Exception:
+        return init_resnet(jax.random.PRNGKey(seed), arch), _CONFIGS[arch]["emb_dim"], False
