@@ -1,0 +1,413 @@
+"""End-to-end MIL fine-tune: ResNet2D backbone over slice bags + attention
+pooling head.
+
+Reference surface (models/mil_attention_finetune.py): bags are NIfTI file
+paths or precomputed slice arrays; per bag: load -> percentile-normalize
+-> multi-axis slice select -> (train-time augment) -> 224² 3-channel
+ImageNet prep -> backbone -> zero-pad bags -> MIL attention head;
+backbone frozen for the first ``freeze_backbone_epochs``; separate LRs
+for backbone/head with global weight decay; balanced batch sampling
+option; focal or pos-weighted BCE; early stopping on val AUC with
+best-state restore; TTA at inference; save = dict of the two state trees.
+
+TPU design:
+- ONE jitted train step per bag-batch covering augment -> resize ->
+  backbone over all B*L slices at once -> MIL head -> loss -> grads ->
+  two-group Adam update. The backbone-freeze phase is a traced 0/1
+  gradient gate, so a single compiled program serves frozen and unfrozen
+  epochs.
+- volume loading runs on host prefetch threads between steps; slices are
+  cached per subject after the first epoch (the reference re-reads and
+  re-zooms every NIfTI every epoch — a large share of its wall-clock).
+- BatchNorm uses batch statistics during training (torch .train()
+  behavior) and the stored running stats at eval; running stats are not
+  updated during fine-tune (documented deviation — with ImageNet stats
+  unavailable in-image the backbone starts from seeded init anyway).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pd_fusion.models.base import BaseModel
+from pd_fusion.nn.mil import mil_apply, mil_init
+from pd_fusion.nn.resnet import IMAGENET_MEAN, IMAGENET_STD, load_backbone, resnet_apply
+from pd_fusion.ops.image import (
+    affine2d_batch,
+    percentile_normalize,
+    resize3d,
+    slices_to_imagenet_batch,
+    take_slices,
+)
+from pd_fusion.imaging.nifti import read_nifti
+from pd_fusion.utils.io import load_pickle, save_pickle
+from pd_fusion.utils.seed import fresh_key
+
+
+@partial(jax.jit, static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"))
+def _ft_step(
+    backbone_params,
+    head_params,
+    opt_state,
+    slices,  # [B, L, h, w] normalized [0,1] slices
+    bag_mask,  # [B, L]
+    y,  # [B]
+    aug_angle,  # [B]
+    aug_translate,  # [B, 2]
+    aug_scale,  # [B]
+    aug_shift,  # [B]
+    noise,  # [B, L, h, w]
+    mean,
+    std,
+    pos_weight,
+    focal_gamma,
+    focal_alpha,
+    backbone_gate,  # 0.0 while frozen, 1.0 when trainable
+    dropout_key,
+    tx_update,
+    arch: str,
+    gated: bool,
+    input_size: int,
+    loss_type: str,
+    train_bn: bool,
+    head_dropout: float = 0.0,
+):
+    B, L = slices.shape[:2]
+
+    def loss_fn(bp, hp):
+        aug = jax.vmap(affine2d_batch)(slices, aug_angle, aug_translate)
+        aug = jnp.clip(aug * aug_scale[:, None, None, None] + aug_shift[:, None, None, None] + noise, 0.0, 1.0)
+        batch = slices_to_imagenet_batch(aug.reshape(B * L, *aug.shape[2:]), input_size, mean, std)
+        emb = resnet_apply(bp, batch, arch, train=train_bn)
+        emb = emb.reshape(B, L, -1)
+        logits = mil_apply(
+            hp, emb, bag_mask, gated=gated, dropout_rate=head_dropout, dropout_key=dropout_key
+        )
+        p = jax.nn.sigmoid(logits)
+        bce = jax.nn.softplus(logits) - y * logits
+        if loss_type == "focal":
+            pt = jnp.where(y >= 0.5, p, 1.0 - p)
+            focal = (1.0 - pt) ** focal_gamma
+            alpha = jnp.where(y >= 0.5, focal_alpha, 1.0 - focal_alpha)
+            return jnp.mean(alpha * focal * bce)
+        w = jnp.where(y >= 0.5, pos_weight, 1.0)
+        return jnp.mean(bce * w)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1))(backbone_params, head_params)
+    gb = jax.tree_util.tree_map(lambda g: g * backbone_gate, grads[0])
+    params = {"backbone": backbone_params, "head": head_params}
+    updates, opt_state = tx_update({"backbone": gb, "head": grads[1]}, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params["backbone"], params["head"], opt_state
+
+
+@partial(jax.jit, static_argnames=("arch", "gated", "input_size"))
+def _ft_predict(backbone_params, head_params, slices, bag_mask, mean, std, arch, gated, input_size):
+    B, L = slices.shape[:2]
+    batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
+    emb = resnet_apply(backbone_params, batch, arch, train=False).reshape(B, L, -1)
+    return jax.nn.sigmoid(mil_apply(head_params, emb, bag_mask, gated=gated))
+
+
+class MilAttentionFineTuneModel(BaseModel):
+    def __init__(self, params: dict):
+        self.params = params or {}
+        p = self.params
+        self.backbone_name = p.get("backbone", "resnet50")
+        self.target_shape = tuple(p.get("target_shape", (160, 160, 160)))
+        if p.get("slice_axes") and p.get("slice_counts"):
+            self.axes = [int(a) for a in p["slice_axes"]]
+            self.counts = [int(c) for c in p["slice_counts"]]
+        else:
+            self.axes = [int(p.get("slice_axis", 2))]
+            self.counts = [int(p.get("slice_count", 48))]
+        self.n_slices = sum(self.counts)
+        self.input_size = int(p.get("input_size", 224))
+        self.bag_batch_size = int(p.get("batch_size", 4))
+        self.tta_inference = int(p.get("tta_inference", 1))
+        self.max_rotation = float(p.get("max_rotation_deg", 5.0))
+        self.max_translation = float(p.get("max_translation", 0.05))
+        self.intensity_scale = float(p.get("intensity_scale", 0.1))
+        self.intensity_shift = float(p.get("intensity_shift", 0.1))
+        self.noise_std = float(p.get("noise_std", 0.01))
+        self.missing_prob = float(p.get("missing_prob", 0.5))
+        self.freeze_backbone_epochs = int(p.get("freeze_backbone_epochs", 2))
+        self.train_aug = bool(p.get("train_aug", True))
+        self.balanced_batches = bool(p.get("balanced_batches", False))
+        self.loss_type = str(p.get("loss_type", "bce")).lower()
+        self.focal_gamma = float(p.get("focal_gamma", 2.0))
+        self.focal_alpha = p.get("focal_alpha")
+        self.gated = bool(p.get("gated", False))
+
+        weights_path = p.get("weights_path") if bool(p.get("pretrained", True)) else None
+        self.backbone_params, self.emb_dim, self.pretrained = load_backbone(
+            self.backbone_name, weights_path=weights_path, seed=int(p.get("seed", 0))
+        )
+        if self.pretrained:
+            self.mean, self.std = IMAGENET_MEAN, IMAGENET_STD
+        else:
+            self.mean = np.array([0.5, 0.5, 0.5], np.float32)
+            self.std = np.array([0.5, 0.5, 0.5], np.float32)
+
+        self.head_params = mil_init(
+            fresh_key(),
+            self.emb_dim,
+            int(p.get("hidden_dim", 256)),
+            int(p.get("attn_dim", 128)),
+            self.gated,
+        )
+
+        chain = []
+        max_grad_norm = p.get("max_grad_norm")
+        if max_grad_norm:
+            chain.append(optax.clip_by_global_norm(float(max_grad_norm)))
+        wd = float(p.get("weight_decay", 1e-3))
+        if wd > 0:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(
+            optax.multi_transform(
+                {
+                    "backbone": optax.adam(float(p.get("lr_backbone", 1e-4))),
+                    "head": optax.adam(float(p.get("lr", 3e-4))),
+                },
+                {"backbone": "backbone", "head": "head"},
+            )
+        )
+        self.tx = optax.chain(*chain)
+        self.opt_state = None
+        self._slice_cache = {}
+
+    # ---- bag -> normalized slices [n_slices, h, w] -----------------------
+    def _load_bag_slices(self, bag) -> Optional[np.ndarray]:
+        if bag is None:
+            return None
+        if isinstance(bag, np.ndarray):
+            return bag.astype(np.float32, copy=False)
+        key = str(bag)
+        if key in self._slice_cache:
+            return self._slice_cache[key]
+        vol = resize3d(jnp.asarray(read_nifti(bag)), self.target_shape)
+        vol = percentile_normalize(vol)
+        parts = [take_slices(vol, ax, ct) for ax, ct in zip(self.axes, self.counts)]
+        slices = np.asarray(jnp.concatenate(parts, axis=0))
+        self._slice_cache[key] = slices
+        return slices
+
+    def _pad_batch(self, slice_list):
+        """list of [L_i, h, w] or None -> padded [B, L, h, w] + mask."""
+        real = [s for s in slice_list if s is not None]
+        L = max(s.shape[0] for s in real)
+        h, w = real[0].shape[1:]
+        B = len(slice_list)
+        X = np.zeros((B, L, h, w), np.float32)
+        mask = np.zeros((B, L), np.float32)
+        for i, s in enumerate(slice_list):
+            if s is None:
+                continue
+            X[i, : s.shape[0]] = s
+            mask[i, : s.shape[0]] = 1.0
+        return X, mask
+
+    def _aug_params(self, B, L, h, w, rng, enabled: bool):
+        if enabled:
+            angle = rng.uniform(-self.max_rotation, self.max_rotation, size=B)
+            translate = rng.uniform(-self.max_translation, self.max_translation, size=(B, 2))
+            translate = translate * np.array([h, w])
+            scale = 1.0 + rng.uniform(-self.intensity_scale, self.intensity_scale, size=B)
+            shift = rng.uniform(-self.intensity_shift, self.intensity_shift, size=B)
+            noise = (
+                rng.normal(0.0, self.noise_std, size=(B, L, h, w)).astype(np.float32)
+                if self.noise_std > 0
+                else np.zeros((B, L, h, w), np.float32)
+            )
+        else:
+            angle = np.zeros(B)
+            translate = np.zeros((B, 2))
+            scale = np.ones(B)
+            shift = np.zeros(B)
+            noise = np.zeros((B, L, h, w), np.float32)
+        return (
+            np.float32(angle),
+            np.float32(translate),
+            np.float32(scale),
+            np.float32(shift),
+            noise,
+        )
+
+    def _resolve_pos_weight(self, y):
+        if self.params.get("class_weight") == "balanced":
+            pos = float((y == 1).sum())
+            neg = float((y == 0).sum())
+            return neg / pos if pos > 0 else 1.0
+        if self.params.get("pos_weight") is not None:
+            return float(self.params["pos_weight"])
+        return 1.0
+
+    def train(self, bags, y, val_data=None):
+        y = np.asarray(y, np.float32)
+        n = len(bags)
+        epochs = int(self.params.get("epochs", 20))
+        patience = int(self.params.get("early_stopping_patience", 0))
+        pos_weight = np.float32(self._resolve_pos_weight(y))
+        focal_alpha = np.float32(self.focal_alpha if self.focal_alpha is not None else 0.5)
+        rng = np.random.default_rng()
+
+        params = {"backbone": self.backbone_params, "head": self.head_params}
+        self.opt_state = self.tx.init(params)
+
+        best_auc, best_state, bad = -1.0, None, 0
+        for epoch in range(epochs):
+            gate = np.float32(1.0 if epoch >= self.freeze_backbone_epochs else 0.0)
+
+            if self.balanced_batches:
+                pos_idx = np.where(y >= 0.5)[0]
+                neg_idx = np.where(y < 0.5)[0]
+                if len(pos_idx) == 0 or len(neg_idx) == 0:
+                    perm = rng.permutation(n)
+                    batches = [perm[i : i + self.bag_batch_size] for i in range(0, n, self.bag_batch_size)]
+                else:
+                    half = max(1, self.bag_batch_size // 2)
+                    n_batches = max(1, int(np.ceil(n / self.bag_batch_size)))
+                    batches = [
+                        np.concatenate(
+                            [
+                                rng.choice(pos_idx, half, replace=len(pos_idx) < half),
+                                rng.choice(
+                                    neg_idx,
+                                    self.bag_batch_size - half,
+                                    replace=len(neg_idx) < (self.bag_batch_size - half),
+                                ),
+                            ]
+                        )
+                        for _ in range(n_batches)
+                    ]
+            else:
+                perm = rng.permutation(n)
+                batches = [perm[i : i + self.bag_batch_size] for i in range(0, n, self.bag_batch_size)]
+
+            for bidx in batches:
+                slice_list = [self._load_bag_slices(bags[i]) for i in bidx]
+                if all(s is None for s in slice_list):
+                    continue
+                X, bag_mask = self._pad_batch(slice_list)
+                B, L, h, w = X.shape
+                aug = self._aug_params(B, L, h, w, rng, self.train_aug)
+                self.backbone_params, self.head_params, self.opt_state = _ft_step(
+                    self.backbone_params,
+                    self.head_params,
+                    self.opt_state,
+                    X,
+                    bag_mask,
+                    y[bidx],
+                    *aug,
+                    jnp.asarray(self.mean),
+                    jnp.asarray(self.std),
+                    pos_weight,
+                    np.float32(self.focal_gamma),
+                    focal_alpha,
+                    gate,
+                    fresh_key(),
+                    self.tx.update,
+                    self.backbone_name,
+                    self.gated,
+                    self.input_size,
+                    self.loss_type,
+                    True,
+                    float(self.params.get("dropout", 0.2)),
+                )
+
+            if val_data is not None and patience > 0:
+                val_bags, y_val = val_data
+                try:
+                    from sklearn.metrics import roc_auc_score
+
+                    auc = float(roc_auc_score(y_val, self.predict_proba(val_bags)))
+                except Exception:
+                    auc = -1.0
+                if auc > best_auc:
+                    best_auc = auc
+                    best_state = (
+                        jax.device_get(self.backbone_params),
+                        jax.device_get(self.head_params),
+                    )
+                    bad = 0
+                else:
+                    bad += 1
+                    if bad >= patience:
+                        break
+
+        if best_state is not None:
+            self.backbone_params, self.head_params = best_state
+
+    def predict_proba(self, bags, masks=None):
+        mri_mask = masks.get("mri") if isinstance(masks, dict) else None
+        n = len(bags)
+        out = np.full(n, self.missing_prob, np.float32)
+        present = [
+            i
+            for i in range(n)
+            if bags[i] is not None and not (mri_mask is not None and mri_mask[i] == 0)
+        ]
+        if not present:
+            return out
+
+        rng = np.random.default_rng()
+        for start in range(0, len(present), self.bag_batch_size):
+            chunk = present[start : start + self.bag_batch_size]
+            slice_list = [self._load_bag_slices(bags[i]) for i in chunk]
+            X, bag_mask = self._pad_batch(slice_list)
+            if self.tta_inference > 1:
+                B, L, h, w = X.shape
+                acc = np.zeros(len(chunk), np.float32)
+                for _ in range(self.tta_inference):
+                    aug = self._aug_params(B, L, h, w, rng, True)
+                    Xa = np.asarray(
+                        jnp.clip(
+                            jax.vmap(affine2d_batch)(X, jnp.asarray(aug[0]), jnp.asarray(aug[1]))
+                            * aug[2][:, None, None, None]
+                            + aug[3][:, None, None, None]
+                            + aug[4],
+                            0.0,
+                            1.0,
+                        )
+                    )
+                    acc += np.asarray(
+                        _ft_predict(
+                            self.backbone_params, self.head_params, Xa, bag_mask,
+                            jnp.asarray(self.mean), jnp.asarray(self.std),
+                            self.backbone_name, self.gated, self.input_size,
+                        )
+                    )
+                probs = acc / self.tta_inference
+            else:
+                probs = np.asarray(
+                    _ft_predict(
+                        self.backbone_params, self.head_params, X, bag_mask,
+                        jnp.asarray(self.mean), jnp.asarray(self.std),
+                        self.backbone_name, self.gated, self.input_size,
+                    )
+                )
+            out[np.asarray(chunk)] = probs
+        return out
+
+    def save(self, path):
+        save_pickle(
+            {
+                "kind": "mil_attention_ft",
+                "params": self.params,
+                "backbone": jax.device_get(self.backbone_params),
+                "attn": jax.device_get(self.head_params),
+            },
+            path,
+        )
+
+    @classmethod
+    def load(cls, path, params=None):
+        state = load_pickle(path)
+        inst = cls(state["params"])
+        inst.backbone_params = state["backbone"]
+        inst.head_params = state["attn"]
+        return inst

@@ -1,0 +1,206 @@
+"""Imaging-plane integration: synthetic NIfTI dataset -> feature/embedding
+builders -> ds001907 loader modes -> MIL fine-tune smoke. Uses tiny shapes
+to keep compiles cheap."""
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pd_fusion.imaging.nifti import write_nifti
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    """12 subjects; PD subjects have a bright blob (signal)."""
+    root = tmp_path_factory.mktemp("nifti_ds")
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(12):
+        label = i % 2
+        vol = rng.rand(24, 28, 26).astype(np.float32) * 0.3
+        vol[2:22, 2:26, 2:24] += 0.4  # foreground
+        if label:
+            vol[8:16, 8:16, 8:16] += 1.5
+        p = root / f"sub-{i:02d}_T1w.nii.gz"
+        write_nifti(p, vol)
+        rows.append(
+            {
+                "subject_id": f"sub-{i:02d}",
+                "session": 1,
+                "label": label,
+                "t1wbrain_path": str(p),
+            }
+        )
+    manifest = root / "manifest.csv"
+    pd.DataFrame(rows).to_csv(manifest, index=False)
+    return root, manifest
+
+
+def test_simple_features_build_and_cache(synthetic_dataset):
+    from pd_fusion.data.openneuro_features import build_simple_features
+
+    root, manifest = synthetic_dataset
+    cfg = {"target_shape": (16, 16, 16), "hist_bins": 10, "grid_size": 4}
+    df = build_simple_features(manifest, root / "feat", cfg)
+    assert len(df) == 12
+    feat_cols = [c for c in df.columns if c.startswith("mri_feat_")]
+    assert len(feat_cols) == 7 + 10 + 64  # stats + hist + 4³ grid
+    assert df[feat_cols].notna().all().all()
+    # second call hits the parquet cache (same object content)
+    df2 = build_simple_features(manifest, root / "feat", cfg)
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_simple_features_match_numpy_oracle(synthetic_dataset):
+    """Stats features equal a direct numpy transcription of the reference
+    semantics (data/openneuro_features.py:34-73) on the resized volume."""
+    import jax.numpy as jnp
+
+    from pd_fusion.imaging.nifti import read_nifti
+    from pd_fusion.ops.image import resize3d
+    from pd_fusion.ops.volume_stats import simple_volume_features
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    vol = np.asarray(resize3d(jnp.asarray(read_nifti(df["t1wbrain_path"][0])), (16, 16, 16)))
+    got = np.asarray(simple_volume_features(jnp.asarray(vol), 10, 0, False))
+
+    mask = vol > 0
+    vals = vol[mask] if mask.sum() else vol.ravel()
+    expect = [vals.mean(), vals.std(), vals.min(), vals.max(), np.median(vals),
+              np.percentile(vals, 10), np.percentile(vals, 90)]
+    np.testing.assert_allclose(got[:7], expect, rtol=2e-4)
+    lo, hi = np.percentile(vals, 1), np.percentile(vals, 99)
+    hist, _ = np.histogram(np.clip(vals, lo, hi), bins=10, range=(lo, hi), density=True)
+    np.testing.assert_allclose(got[7:17], hist, rtol=2e-3, atol=1e-4)
+
+
+def test_resnet2d_embeddings_build(synthetic_dataset):
+    from pd_fusion.data.openneuro_features import (
+        build_resnet2d_embeddings,
+        load_resnet2d_embeddings,
+    )
+
+    root, manifest = synthetic_dataset
+    cfg = {
+        "backbone": "resnet18",
+        "target_shape": (16, 16, 16),
+        "slice_axis": 2,
+        "slice_count": 4,
+        "input_size": 32,
+        "tta": 1,
+    }
+    df = build_resnet2d_embeddings(manifest, root / "emb", cfg)
+    assert len(df) == 12
+    emb_cols = [c for c in df.columns if c.startswith("mri_resnet_")]
+    assert len(emb_cols) == 512
+    # loader finds the cached artifact
+    df2 = load_resnet2d_embeddings(manifest, root / "emb", cfg)
+    pd.testing.assert_frame_equal(df, df2)
+    # meta json records pretrained status
+    metas = list((root / "emb").glob("resnet2d_*.json"))
+    assert metas and "pretrained" in json.load(open(metas[0]))
+
+
+def test_resnet2d_mil_embeddings_multiaxis(synthetic_dataset):
+    from pd_fusion.data.openneuro_features import (
+        build_resnet2d_mil_embeddings,
+        load_resnet2d_mil_embeddings,
+    )
+
+    root, manifest = synthetic_dataset
+    cfg = {
+        "backbone": "resnet18",
+        "target_shape": (16, 16, 16),
+        "slice_axes": [0, 2],
+        "slice_counts": [3, 4],
+        "input_size": 32,
+        "tta": 2,  # exercises the augmented path
+    }
+    build_resnet2d_mil_embeddings(manifest, root / "mil", cfg)
+    df = load_resnet2d_mil_embeddings(manifest, root / "mil", cfg)
+    assert len(df) == 12
+    bag = df["mri_mil"].iloc[0]
+    assert bag.shape == (7, 512)  # 3 + 4 slices, resnet18 dim
+
+
+def test_cnn3d_autoencoder_learns_and_embeds():
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.cnn3d import cnn3d_apply, cnn3d_embed, cnn3d_init, train_cnn3d
+
+    rng = np.random.RandomState(0)
+    vols = rng.rand(6, 16, 16, 16, 1).astype(np.float32)
+    params = cnn3d_init(jax.random.PRNGKey(0), (16, 16, 16), 8)
+    recon0, emb0 = cnn3d_apply(params, jnp.asarray(vols), (16, 16, 16))
+    assert recon0.shape == vols.shape
+    loss0 = float(np.mean((np.asarray(recon0) - vols) ** 2))
+    params = train_cnn3d(params, jnp.asarray(vols), jax.random.PRNGKey(1), 1e-3, (16, 16, 16), 30, 3)
+    recon1, _ = cnn3d_apply(params, jnp.asarray(vols), (16, 16, 16))
+    loss1 = float(np.mean((np.asarray(recon1) - vols) ** 2))
+    assert loss1 < loss0  # reconstruction improves
+    emb = np.asarray(cnn3d_embed(params, jnp.asarray(vols), (16, 16, 16)))
+    assert emb.shape == (6, 8)
+
+
+def test_ds001907_loader_modes(synthetic_dataset, monkeypatch):
+    from pd_fusion.data.openneuro_ds001907 import load_openneuro_ds001907
+
+    root, manifest = synthetic_dataset
+    monkeypatch.setenv("PD_FUSION_DS001907_MANIFEST", str(manifest))
+
+    cfg = {
+        "feature_mode": "simple",
+        "feature_cache_dir": str(root / "feat"),
+        "feature_config": {"target_shape": (16, 16, 16), "hist_bins": 10, "grid_size": 4},
+    }
+    df, masks = load_openneuro_ds001907(cfg)
+    assert masks["mri"].sum() == 12
+    assert (masks["clinical"] == 0).all()
+    assert "diagnosis" in df.columns
+
+    cfg_ft = {"feature_mode": "resnet2d_mil_ft"}
+    df_ft, masks_ft = load_openneuro_ds001907(cfg_ft)
+    assert "mri_mil" in df_ft.columns
+    assert masks_ft["mri"].sum() == 12
+
+
+def test_mil_finetune_smoke(synthetic_dataset):
+    from sklearn.metrics import roc_auc_score
+
+    from pd_fusion.models.mil_attention_finetune import MilAttentionFineTuneModel
+    from pd_fusion.utils.seed import set_seed
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    bags = df["t1wbrain_path"].tolist()
+    y = df["label"].values
+
+    set_seed(0)
+    m = MilAttentionFineTuneModel(
+        {
+            "backbone": "resnet18",
+            "pretrained": False,
+            "target_shape": (16, 16, 16),
+            "slice_axis": 2,
+            "slice_count": 4,
+            "input_size": 32,
+            "batch_size": 4,
+            "epochs": 2,
+            "freeze_backbone_epochs": 1,
+            "hidden_dim": 32,
+            "attn_dim": 16,
+            "train_aug": True,
+            "max_grad_norm": 5.0,
+        }
+    )
+    m.train(bags, y, (bags, y))
+    p = m.predict_proba(bags, {"mri": np.ones(len(bags), int)})
+    assert p.shape == (12,)
+    assert np.isfinite(p).all()
+
+    # missing bags -> constant
+    p2 = m.predict_proba([bags[0], None], {"mri": np.array([1, 0])})
+    assert p2[1] == pytest.approx(m.missing_prob)
