@@ -176,6 +176,53 @@ def train_minibatch_moddrop(
     )
 
 
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def train_fullbatch_earlystop(
+    params: Params,
+    X: jax.Array,
+    y: jax.Array,
+    Xv: jax.Array,
+    yv: jax.Array,
+    key: jax.Array,
+    lr: float,
+    pos_weight,
+    epochs: int,
+    dropout: float = 0.3,
+    weight_decay: float = 0.0,
+) -> Params:
+    """Full-batch Adam with pos-weighted BCE and on-device best-val-AUC
+    tracking (the PPMI tabular suite's MLP recipe — reference scripts/
+    ppmi_train_tabular.py:145-218: BCEWithLogits(pos_weight), per-epoch
+    val AUC, best-state restore). Runs all epochs in one scan and returns
+    the best-AUC parameters (equivalent to the patience-break + restore)."""
+    from pd_fusion.ops.metrics import roc_auc
+
+    tx = make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, k):
+        logits = mlp_apply(p, X, dropout_rate=dropout, dropout_key=k)
+        l = jax.nn.softplus(logits) - y * logits
+        w = jnp.where(y >= 0.5, pos_weight, 1.0)
+        return jnp.mean(l * w)
+
+    def step(carry, k):
+        p, s, best_auc, best_p = carry
+        grads = jax.grad(loss_fn)(p, k)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        val_prob = jax.nn.sigmoid(mlp_apply(p, Xv))
+        auc = roc_auc(yv, val_prob)
+        improved = auc > best_auc
+        best_p = jax.tree_util.tree_map(lambda b, c: jnp.where(improved, c, b), best_p, p)
+        best_auc = jnp.where(improved, auc, best_auc)
+        return (p, s, best_auc, best_p), None
+
+    keys = jax.random.split(key, epochs)
+    (_, _, _, best_p), _ = jax.lax.scan(step, (params, opt_state, jnp.float32(-jnp.inf), params), keys)
+    return best_p
+
+
 @jax.jit
 def predict_logits(params: Params, X: jax.Array) -> jax.Array:
     return mlp_apply(params, X)
