@@ -57,6 +57,7 @@ from pd_fusion.evaluation.plots import (
 from pd_fusion.paths import ROOT_DIR, get_run_dir
 from pd_fusion.training.train import train_pipeline
 from pd_fusion.utils.io import load_yaml, save_pickle, save_yaml
+from pd_fusion.utils.profiling import maybe_profile, phase_timer
 from pd_fusion.utils.seed import set_seed
 
 
@@ -169,21 +170,24 @@ def run_full_pipeline(config_path: str, synthetic: bool = False, overrides: dict
     if overrides:
         logger.info(f"Overrides: {overrides}")
 
-    dataset_name, df, masks = load_dataset(config, data_config, synthetic)
+    with phase_timer("load_data"):
+        dataset_name, df, masks = load_dataset(config, data_config, synthetic)
 
     train_df, val_df, test_df = stratified_split(df, seed=config.get("seed", 42))
     train_masks = get_subset_masks(masks, train_df.index)
     val_masks = get_subset_masks(masks, val_df.index)
     test_masks = get_subset_masks(masks, test_df.index)
 
-    model, prep_info = train_pipeline(config, train_df, val_df, train_masks, val_masks)
+    with phase_timer("train"), maybe_profile("train"):
+        model, prep_info = train_pipeline(config, train_df, val_df, train_masks, val_masks)
 
     model.save(run_dir / "model.pt")
     save_pickle(prep_info, run_dir / "preprocess.pkl")
 
     _save_run_provenance(run_dir, config, eval_config, dataset_name, synthetic, overrides)
 
-    results = evaluate_model(model, test_df, test_masks, prep_info, eval_config)
+    with phase_timer("evaluate"), maybe_profile("evaluate"):
+        results = evaluate_model(model, test_df, test_masks, prep_info, eval_config)
     save_yaml(results, run_dir / "results.yaml")
 
     logger.info("Generating plots...")

@@ -247,6 +247,9 @@ class MilAttentionFineTuneModel(BaseModel):
         return 1.0
 
     def train(self, bags, y, val_data=None):
+        from pd_fusion.training.callbacks import MetricEarlyStopping
+        from pd_fusion.utils.checkpoint import latest_step, load_checkpoint, save_checkpoint
+
         y = np.asarray(y, np.float32)
         n = len(bags)
         epochs = int(self.params.get("epochs", 20))
@@ -258,8 +261,22 @@ class MilAttentionFineTuneModel(BaseModel):
         params = {"backbone": self.backbone_params, "head": self.head_params}
         self.opt_state = self.tx.init(params)
 
-        best_auc, best_state, bad = -1.0, None, 0
-        for epoch in range(epochs):
+        # mid-training checkpoint/resume (orbax with pickle fallback)
+        ckpt_dir = self.params.get("checkpoint_dir")
+        ckpt_every = int(self.params.get("checkpoint_every", 0))
+        start_epoch = 0
+        if ckpt_dir:
+            step = latest_step(ckpt_dir)
+            if step is not None:
+                state = load_checkpoint(ckpt_dir, step)
+                if state is not None:
+                    self.backbone_params = state["backbone"]
+                    self.head_params = state["head"]
+                    self.opt_state = state["opt_state"]
+                    start_epoch = int(state["epoch"]) + 1
+
+        stopper = MetricEarlyStopping(patience=patience)
+        for epoch in range(start_epoch, epochs):
             gate = np.float32(1.0 if epoch >= self.freeze_backbone_epochs else 0.0)
 
             if self.balanced_batches:
@@ -319,6 +336,14 @@ class MilAttentionFineTuneModel(BaseModel):
                     float(self.params.get("dropout", 0.2)),
                 )
 
+            if ckpt_dir and ckpt_every and (epoch + 1) % ckpt_every == 0:
+                save_checkpoint(
+                    ckpt_dir,
+                    {"backbone": self.backbone_params, "head": self.head_params,
+                     "opt_state": self.opt_state, "epoch": epoch},
+                    step=epoch,
+                )
+
             if val_data is not None and patience > 0:
                 val_bags, y_val = val_data
                 try:
@@ -327,20 +352,17 @@ class MilAttentionFineTuneModel(BaseModel):
                     auc = float(roc_auc_score(y_val, self.predict_proba(val_bags)))
                 except Exception:
                     auc = -1.0
-                if auc > best_auc:
-                    best_auc = auc
-                    best_state = (
+                if stopper.update(
+                    auc,
+                    lambda: (
                         jax.device_get(self.backbone_params),
                         jax.device_get(self.head_params),
-                    )
-                    bad = 0
-                else:
-                    bad += 1
-                    if bad >= patience:
-                        break
+                    ),
+                ):
+                    break
 
-        if best_state is not None:
-            self.backbone_params, self.head_params = best_state
+        if stopper.best_state is not None:
+            self.backbone_params, self.head_params = stopper.best_state
 
     def predict_proba(self, bags, masks=None):
         mri_mask = masks.get("mri") if isinstance(masks, dict) else None
