@@ -41,12 +41,32 @@ from pd_fusion.ops.image import (
 
 
 def load_volume(path, target_shape=(96, 96, 96)) -> np.ndarray:
-    """Host NIfTI read + device trilinear resize (reference _load_volume:
-    nibabel + ndimage.zoom, data/openneuro_features.py:22-32)."""
+    """Host NIfTI read + trilinear resize (reference _load_volume: nibabel
+    + ndimage.zoom, data/openneuro_features.py:22-32). Uses the fused
+    native C++ read+resample (imaging.native) when built — GIL-free and
+    thread-parallel, and only the resized volume ever crosses to device —
+    with a python-read + device-resize fallback."""
+    from pd_fusion.imaging import native
+
+    if target_shape is not None:
+        nat = native.read_resize_nifti_native(path, tuple(int(t) for t in target_shape))
+        if nat is not None:
+            return nat
     data = read_nifti(path)
     if target_shape is not None:
         data = np.asarray(resize3d(jnp.asarray(data), tuple(target_shape)))
     return data
+
+
+def make_volume_loader(target_shape):
+    """Loader for VolumePrefetcher: returns volumes already at
+    target_shape (native fused path when available)."""
+    shape = tuple(int(t) for t in target_shape)
+
+    def _load(path):
+        return load_volume(path, shape)
+
+    return _load
 
 
 class VolumePrefetcher:
@@ -169,7 +189,7 @@ def run_resnet_embedding_pipeline(
     axes_t, counts_t = tuple(int(a) for a in axes), tuple(int(c) for c in counts)
     n_slices_total = sum(counts_t)
 
-    loader = lambda p: read_nifti(p)
+    loader = make_volume_loader(target_shape)
     it = VolumePrefetcher(paths, loader, depth=prefetch_depth)
     if progress:
         try:
@@ -180,8 +200,8 @@ def run_resnet_embedding_pipeline(
             it = iter(it)
 
     results: List[Optional[jax.Array]] = [None] * len(paths)
-    for i, raw in it:
-        vol = resize3d(jnp.asarray(raw), tuple(target_shape))
+    for i, vol in it:
+        vol = jnp.asarray(vol)
         if tta <= 1:
             results[i] = embed_volume(
                 backbone_params, vol, mean, std, arch, axes_t, counts_t, input_size, per_slice

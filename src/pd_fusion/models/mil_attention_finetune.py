@@ -189,7 +189,9 @@ class MilAttentionFineTuneModel(BaseModel):
         key = str(bag)
         if key in self._slice_cache:
             return self._slice_cache[key]
-        vol = resize3d(jnp.asarray(read_nifti(bag)), self.target_shape)
+        from pd_fusion.imaging.pipeline import load_volume
+
+        vol = jnp.asarray(load_volume(bag, self.target_shape))
         vol = percentile_normalize(vol)
         parts = [take_slices(vol, ax, ct) for ax, ct in zip(self.axes, self.counts)]
         slices = np.asarray(jnp.concatenate(parts, axis=0))
