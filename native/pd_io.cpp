@@ -26,17 +26,44 @@ namespace {
 // ---------------------------------------------------------------------------
 
 bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
-  // gzFile transparently reads both gzip and uncompressed files.
+  // Pre-size from the gzip ISIZE trailer (mod 2^32) to avoid growth
+  // copies; gzFile transparently reads both gzip and plain files.
+  size_t hint = 0;
+  if (FILE* rf = fopen(path, "rb")) {
+    uint8_t magic[2] = {0, 0};
+    if (fread(magic, 1, 2, rf) == 2) {
+      if (magic[0] == 0x1f && magic[1] == 0x8b) {
+        if (fseek(rf, -4, SEEK_END) == 0) {
+          uint8_t tr[4];
+          if (fread(tr, 1, 4, rf) == 4) {
+            hint = static_cast<size_t>(tr[0]) | (static_cast<size_t>(tr[1]) << 8) |
+                   (static_cast<size_t>(tr[2]) << 16) | (static_cast<size_t>(tr[3]) << 24);
+          }
+        }
+      } else {
+        fseek(rf, 0, SEEK_END);
+        long sz = ftell(rf);
+        if (sz > 0) hint = static_cast<size_t>(sz);
+      }
+    }
+    fclose(rf);
+  }
+
   gzFile f = gzopen(path, "rb");
   if (!f) return false;
-  constexpr size_t kChunk = 1 << 20;
-  std::vector<uint8_t> buf(kChunk);
+  gzbuffer(f, 1 << 18);
   out.clear();
+  out.resize(hint ? hint : (1 << 20));
+  size_t filled = 0;
   int n;
-  while ((n = gzread(f, buf.data(), kChunk)) > 0) {
-    out.insert(out.end(), buf.begin(), buf.begin() + n);
+  while (true) {
+    if (filled == out.size()) out.resize(out.size() * 2);
+    n = gzread(f, out.data() + filled, static_cast<unsigned>(out.size() - filled));
+    if (n <= 0) break;
+    filled += n;
   }
   bool ok = (n == 0);
+  out.resize(filled);
   gzclose(f);
   return ok;
 }
@@ -99,8 +126,19 @@ extern "C" {
 // a buffer of product(dims) floats.
 int pd_read_nifti(const char* path, int64_t* dims, float* out) {
   std::vector<uint8_t> raw;
-  if (!read_file_maybe_gz(path, raw)) return 1;
-  if (raw.size() < 352) return 2;
+  if (out == nullptr) {
+    // header-only: inflate just the first block instead of the whole file
+    gzFile f = gzopen(path, "rb");
+    if (!f) return 1;
+    raw.resize(352);
+    int n = gzread(f, raw.data(), 352);
+    gzclose(f);
+    if (n < 348) return 2;
+    raw.resize(n);
+  } else if (!read_file_maybe_gz(path, raw)) {
+    return 1;
+  }
+  if (raw.size() < 348) return 2;
   const uint8_t* h = raw.data();
 
   bool swap = false;
@@ -275,6 +313,117 @@ int pd_read_resize_nifti(const char* path, int64_t t0, int64_t t1, int64_t t2,
   if (int rc = pd_read_nifti(path, dims, vol.data())) return rc;
   // Fortran [x,y,z] buffer == C-order [z,y,x]; resize with reversed dims.
   pd_resize3d(vol.data(), dims[2], dims[1], dims[0], out, t2, t1, t0, n_threads);
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Full host prep for the embedding pipeline: read + resize + 1-99%%
+// nonzero-mask percentile normalize + multi-axis nonzero-extent slice
+// select. Mirrors pd_fusion.imaging.pipeline.{normalize_volume_host,
+// select_slices_host} exactly (equality-tested). out must hold
+// sum(counts) * h * w floats where (h, w) are the per-axis slice dims of
+// a CUBIC target (t0 == t1 == t2 is required for multi-axis use).
+// Layout notes: the volume buffer is Fortran [t0,t1,t2] == C [t2,t1,t0].
+int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
+                   const int64_t* axes, const int64_t* counts, int n_axes,
+                   float* out, int n_threads) {
+  std::vector<float> vol(static_cast<size_t>(t0) * t1 * t2);
+  if (int rc = pd_read_resize_nifti(path, t0, t1, t2, vol.data(), n_threads)) return rc;
+  const int64_t count = static_cast<int64_t>(vol.size());
+
+  // percentile over the positive mask (numpy 'linear' interpolation)
+  std::vector<float> vals;
+  vals.reserve(count);
+  for (int64_t i = 0; i < count; ++i) {
+    if (vol[i] > 0.0f) vals.push_back(vol[i]);
+  }
+  float lo, hi;
+  if (vals.empty()) {
+    lo = *std::min_element(vol.begin(), vol.end());
+    hi = *std::max_element(vol.begin(), vol.end());
+  } else {
+    auto percentile = [&](double q) -> float {
+      double pos = (vals.size() - 1) * q / 100.0;
+      size_t k = static_cast<size_t>(pos);
+      double frac = pos - k;
+      std::nth_element(vals.begin(), vals.begin() + k, vals.end());
+      float vk = vals[k];
+      if (frac == 0.0 || k + 1 >= vals.size()) return vk;
+      float vk1 = *std::min_element(vals.begin() + k + 1, vals.end());
+      return static_cast<float>(vk * (1.0 - frac) + vk1 * frac);
+    };
+    lo = percentile(1.0);
+    hi = percentile(99.0);
+  }
+  const float inv = 1.0f / (hi - lo + 1e-6f);
+  // normalized copy kept implicit: normalize on the fly during gather;
+  // the >0 masks below must use the ORIGINAL values (python normalizes
+  // first, but clip keeps positives positive and lo>0 keeps zeros at
+  // (0-lo)*inv... so normalize eagerly to match python exactly.
+  auto norm = [&](float v) {
+    float c = v < lo ? lo : (v > hi ? hi : v);
+    return (c - lo) * inv;
+  };
+  for (int64_t i = 0; i < count; ++i) vol[i] = norm(vol[i]);
+
+  const int64_t s_z = t1 * t0;  // C stride of z in the buffer
+  const int64_t s_y = t0;
+
+  float* dst = out;
+  for (int a = 0; a < n_axes; ++a) {
+    const int64_t axis = axes[a];
+    const int64_t cnt = counts[a];
+    const int64_t axis_len = (axis == 0) ? t0 : (axis == 1) ? t1 : t2;
+    // nonzero extent along `axis`
+    std::vector<char> nz(axis_len, 0);
+    for (int64_t z = 0; z < t2; ++z) {
+      for (int64_t y = 0; y < t1; ++y) {
+        const float* row = vol.data() + z * s_z + y * s_y;
+        for (int64_t x = 0; x < t0; ++x) {
+          if (row[x] > 0.0f) {
+            if (axis == 0) nz[x] = 1;
+            else if (axis == 1) nz[y] = 1;
+            else nz[z] = 1;
+          }
+        }
+      }
+    }
+    int64_t lo_i = 0, hi_i = axis_len - 1;
+    bool any = false;
+    for (int64_t i = 0; i < axis_len; ++i) {
+      if (nz[i]) { lo_i = i; any = true; break; }
+    }
+    if (any) {
+      for (int64_t i = axis_len - 1; i >= 0; --i) {
+        if (nz[i]) { hi_i = i; break; }
+      }
+    }
+    for (int64_t k = 0; k < cnt; ++k) {
+      double pos = (cnt == 1) ? lo_i
+                              : lo_i + (hi_i - lo_i) * (static_cast<double>(k) / (cnt - 1));
+      int64_t idx = static_cast<int64_t>(pos);
+      if (axis == 0) {
+        // out[k][y][z] = vol[x=idx, y, z]
+        for (int64_t y = 0; y < t1; ++y)
+          for (int64_t z = 0; z < t2; ++z)
+            *dst++ = vol[z * s_z + y * s_y + idx];
+      } else if (axis == 1) {
+        // out[k][x][z] = vol[x, y=idx, z]
+        for (int64_t x = 0; x < t0; ++x)
+          for (int64_t z = 0; z < t2; ++z)
+            *dst++ = vol[z * s_z + idx * s_y + x];
+      } else {
+        // out[k][x][y] = vol[x, y, z=idx]
+        const float* plane = vol.data() + idx * s_z;
+        for (int64_t x = 0; x < t0; ++x)
+          for (int64_t y = 0; y < t1; ++y)
+            *dst++ = plane[y * s_y + x];
+      }
+    }
+  }
   return 0;
 }
 

@@ -62,6 +62,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.pd_prep_slices.restype = ctypes.c_int
+        lib.pd_prep_slices.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
         _lib = lib
         logger.info(f"native pd_io loaded from {_LIB_PATH}")
     except Exception as e:  # pragma: no cover
@@ -126,3 +136,29 @@ def resize3d_native(vol: np.ndarray, target_shape: Tuple[int, int, int],
         t0, t1, t2, n_threads,
     )
     return out
+
+
+def prep_slices_native(path, target_shape, axes, counts,
+                       n_threads: int = 2) -> Optional[np.ndarray]:
+    """Fully native embed prep: read + resize + percentile-normalize +
+    multi-axis slice select -> [sum(counts), h, w] float32 (cubic targets).
+    Mirrors imaging.pipeline's host prep exactly (equality-tested)."""
+    lib = _load()
+    if lib is None:
+        return None
+    t0, t1, t2 = (int(t) for t in target_shape)
+    if not (t0 == t1 == t2) and len(axes) > 1:
+        return None
+    axes_arr = (ctypes.c_int64 * len(axes))(*[int(a) for a in axes])
+    counts_arr = (ctypes.c_int64 * len(counts))(*[int(c) for c in counts])
+    per_axis_dims = {0: (t1, t2), 1: (t0, t2), 2: (t0, t1)}
+    h, w = per_axis_dims[int(axes[0])]
+    total = sum(int(c) for c in counts)
+    out = np.empty(total * h * w, np.float32)
+    rc = lib.pd_prep_slices(
+        str(path).encode(), t0, t1, t2, axes_arr, counts_arr, len(axes),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+    )
+    if rc != 0:
+        return None
+    return out.reshape((total, h, w))
