@@ -1,0 +1,166 @@
+"""CV-pipeline extras: calibrated + nested-calibration sequential path,
+group-aware CV with subject-level metrics, session-shift retrains, and
+the full MIL-bags-through-CV path."""
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from pd_fusion.paths import RUNS_DIR
+
+
+@pytest.fixture
+def cleanup_run():
+    names = []
+    yield names
+    for n in names:
+        shutil.rmtree(RUNS_DIR / n, ignore_errors=True)
+
+
+def test_cv_calibrated_nested_sequential_path(cleanup_run):
+    """calibrate + nested_calibration forces the sequential fold loop with
+    split_train_calibration and the isotonic wrap."""
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+
+    run_id = "pytest_cv_nested"
+    cleanup_run.append(run_id)
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml",
+        k=3,
+        synthetic=True,
+        overrides={
+            "output_dir": run_id,
+            "calibrate": True,
+            "nested_calibration": True,
+            "calibration_split": 0.25,
+        },
+    )
+    assert "full_observation" in agg
+    assert (RUNS_DIR / run_id / "results_fold_3.yaml").exists()
+    # calibrated probabilities stay in [0, 1] and metrics are sane
+    assert 0.0 <= agg["full_observation"]["ece"]["mean"] <= 1.0
+
+
+def _grouped_dataset(monkeypatch):
+    """Synthetic dataset with 2 sessions per subject (group/session cols)."""
+    rng = np.random.RandomState(0)
+    n_subj = 60
+    rows = []
+    masks = {"clinical": [], "datspect": [], "mri": []}
+    y_subj = rng.randint(0, 2, n_subj)
+    for s in range(n_subj):
+        for ses in (1, 2):
+            feat = rng.randn(6) + y_subj[s] * 1.2
+            rows.append(
+                {
+                    "patno": len(rows),
+                    "subject_id": f"sub{s:03d}",
+                    "session": ses,
+                    **{f"clinical_f{j}": feat[j] for j in range(6)},
+                    "diagnosis": y_subj[s],
+                }
+            )
+            masks["clinical"].append(1)
+            masks["datspect"].append(0)
+            masks["mri"].append(0)
+    df = pd.DataFrame(rows)
+    mask_arrays = {k: np.array(v) for k, v in masks.items()}
+
+    import pd_fusion.experiments.run_experiment as R
+
+    monkeypatch.setattr(
+        R, "load_dataset", lambda config, data_config, synthetic: ("grouped", df, mask_arrays)
+    )
+    return df
+
+
+def test_group_cv_subject_metrics_and_session_shift(cleanup_run, monkeypatch, tmp_path):
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+
+    _grouped_dataset(monkeypatch)
+    run_id = "pytest_cv_grouped"
+    cleanup_run.append(run_id)
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml",
+        k=3,
+        synthetic=True,
+        overrides={
+            "output_dir": run_id,
+            "group_col": "subject_id",
+            "session_shift": True,
+            "session_col": "session",
+            "params": {"hidden_dims": [8], "dropout": 0.0, "lr": 0.01, "epochs": 30},
+        },
+    )
+    run_dir = RUNS_DIR / run_id
+    # subject-level metrics present (group aggregation path)
+    fold1 = yaml.safe_load(open(run_dir / "results_fold_1.yaml"))
+    assert "subject_roc_auc" in fold1["full_observation"]
+    # group-awareness: no subject appears in two folds
+    fa = pd.read_csv(run_dir / "fold_assignments.csv")
+    assert (fa.groupby("subject_id")["fold"].nunique() == 1).all()
+    # preds CSV carries the group and session columns
+    preds = pd.read_csv(run_dir / "preds_fold_1_full_observation.csv")
+    assert "subject_id" in preds.columns and "session" in preds.columns
+    # session-shift artifacts
+    assert (run_dir / "session_shift_ses1_to_2.yaml").exists()
+    assert (run_dir / "session_shift_ses2_to_1.yaml").exists()
+
+
+def test_mil_attention_through_cv_pipeline(cleanup_run, monkeypatch):
+    """BASELINE config #5 path: MIL bags column -> mil_attention model
+    through the (sequential) CV pipeline with missing-bag scenarios."""
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+
+    rng = np.random.RandomState(1)
+    n = 48
+    y = rng.randint(0, 2, n)
+    bags = []
+    for i in range(n):
+        L = rng.randint(6, 14)
+        bag = rng.randn(L, 12).astype(np.float32)
+        if y[i]:
+            bag[rng.choice(L, 2, replace=False)] += 2.0
+        bags.append(bag)
+    df = pd.DataFrame({"patno": np.arange(n), "diagnosis": y})
+    df["mri_mil"] = bags
+    masks = {
+        "clinical": np.zeros(n, int),
+        "datspect": np.zeros(n, int),
+        "mri": np.ones(n, int),
+    }
+    import pd_fusion.experiments.run_experiment as R
+
+    monkeypatch.setattr(
+        R, "load_dataset", lambda config, data_config, synthetic: ("milset", df, masks)
+    )
+
+    run_id = "pytest_cv_mil"
+    cleanup_run.append(run_id)
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml",
+        k=2,
+        synthetic=True,
+        overrides={
+            "output_dir": run_id,
+            "model_type": "mil_attention",
+            "mil_column": "mri_mil",
+            "params": {
+                "hidden_dim": 16,
+                "attn_dim": 8,
+                "dropout": 0.1,
+                "lr": 0.01,
+                "batch_size": 8,
+                "epochs": 15,
+                "missing_prob": 0.5,
+            },
+        },
+    )
+    assert "full_observation" in agg
+    # mri-drop scenarios degrade toward the constant missing_prob
+    full = agg["full_observation"]["roc_auc"]["mean"]
+    dropped = agg["clinical_only"]["roc_auc"]["mean"]  # drops datspect+mri -> bags gone
+    assert full > 0.6
+    assert dropped == pytest.approx(0.5, abs=0.05)  # all-constant predictions
