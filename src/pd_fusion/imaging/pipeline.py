@@ -141,12 +141,18 @@ def make_slices_loader(target_shape, axes, counts):
 class VolumePrefetcher:
     """Threaded read-ahead over manifest paths: hides NIfTI IO + gunzip
     behind device compute. (The reference's loop does IO serially between
-    model calls; SURVEY §6 flags host IO as the true bottleneck.)"""
+    model calls; SURVEY §6 flags host IO as the true bottleneck.)
+
+    Worker count is clamped to the available cores + 1: on a single-core
+    host extra threads only add GIL/context-switch thrash."""
 
     def __init__(self, paths: Sequence, loader, depth: int = 4):
+        import os
+
         self.paths = list(paths)
         self.loader = loader
-        self.depth = depth
+        cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else (os.cpu_count() or 1)
+        self.depth = max(1, min(depth, cores + 1))
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
         with cf.ThreadPoolExecutor(max_workers=self.depth) as pool:
