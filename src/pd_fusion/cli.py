@@ -168,10 +168,32 @@ def main():
 
     elif args.command == "train":
         # single-split train without the evaluation tail: run the full
-        # pipeline (matches the reference where 'train' is a thin alias)
+        # pipeline (the reference leaves 'train' unimplemented)
         from pd_fusion.experiments.run_experiment import run_full_pipeline
 
         run_full_pipeline(args.config, args.synthetic, overrides={})
+
+    elif args.command == "evaluate":
+        # re-evaluate a finished run's saved model on its dataset (the
+        # reference leaves this subcommand unimplemented)
+        from pd_fusion.experiments.run_experiment import evaluate_run
+
+        evaluate_run(args.config, args.run_dir)
+
+    elif args.command == "prepare-dev":
+        # smoke-verify the downloadable dev datasets (reference stub)
+        from pd_fusion.data.dev_datasets.uci_parkinsons import load_uci_parkinsons
+        from pd_fusion.data.dev_datasets.uci_telemonitoring import load_uci_telemonitoring
+
+        for name, loader in (
+            ("uci_parkinsons", load_uci_parkinsons),
+            ("uci_telemonitoring", load_uci_telemonitoring),
+        ):
+            try:
+                df, masks = loader()
+                print(f"{name}: OK shape={df.shape} clinical={masks['clinical'].sum()}/{len(df)}")
+            except Exception as e:
+                print(f"{name}: UNAVAILABLE ({e})")
 
     elif args.command is None:
         parser.print_help()

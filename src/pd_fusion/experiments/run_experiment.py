@@ -230,6 +230,47 @@ def run_full_pipeline(config_path: str, synthetic: bool = False, overrides: dict
     return results
 
 
+def evaluate_run(config_path: str, run_dir: str):
+    """Re-evaluate a finished run's saved model (``pd-fusion evaluate``).
+
+    Loads model.pt + preprocess.pkl from the run directory, reloads the
+    dataset named by the RUN's resolved config (same seed -> same
+    stratified test split), re-runs the scenario evaluation with the
+    eval config from ``config_path`` (or the run's own eval_config), and
+    writes ``results_eval.yaml``. The reference stubs this subcommand.
+    """
+    logger = logging.getLogger("pd_fusion")
+    run_path = Path(run_dir)
+    resolved = load_yaml(run_path / "resolved_config.yaml")
+    prov = load_yaml(run_path / "provenance.yaml") if (run_path / "provenance.yaml").exists() else {}
+
+    eval_config = load_yaml(_resolve_config_path(config_path)) if config_path else None
+    if not eval_config or "scenarios" not in eval_config:
+        eval_config = load_yaml(run_path / "eval_config.yaml")
+    if resolved.get("group_col"):
+        eval_config["group_col"] = resolved["group_col"]
+
+    data_config = load_yaml(
+        _resolve_config_path(resolved.get("data_config", "configs/data_ppmi.yaml"))
+    )
+    set_seed(resolved.get("seed", 42))
+    _, df, masks = load_dataset(resolved, data_config, bool(prov.get("synthetic", False)))
+
+    _, _, test_df = stratified_split(df, seed=resolved.get("seed", 42))
+    test_masks = get_subset_masks(masks, test_df.index)
+
+    from pd_fusion.models.serialization import load_model
+    from pd_fusion.utils.io import load_pickle
+
+    model = load_model(run_path / "model.pt")
+    prep_info = load_pickle(run_path / "preprocess.pkl")
+
+    results = evaluate_model(model, test_df, test_masks, prep_info, eval_config)
+    save_yaml(results, run_path / "results_eval.yaml")
+    logger.info(f"Re-evaluation saved to {run_path / 'results_eval.yaml'}")
+    return results
+
+
 def run_cv_pipeline(config_path: str, k: int = 5, synthetic: bool = False, overrides: dict = None):
     logger = logging.getLogger("pd_fusion")
     config, data_config, eval_config = _load_configs(config_path, overrides)

@@ -164,3 +164,26 @@ def test_mil_attention_through_cv_pipeline(cleanup_run, monkeypatch):
     dropped = agg["clinical_only"]["roc_auc"]["mean"]  # drops datspect+mri -> bags gone
     assert full > 0.6
     assert dropped == pytest.approx(0.5, abs=0.05)  # all-constant predictions
+
+
+def test_evaluate_subcommand_roundtrip(cleanup_run):
+    """Saved-model reload + re-evaluation reproduces the run's results
+    exactly for deterministic scenarios (pd-fusion evaluate)."""
+    import yaml as _yaml
+
+    from pd_fusion.experiments.run_experiment import evaluate_run, run_full_pipeline
+
+    run_id = "pytest_eval_roundtrip"
+    cleanup_run.append(run_id)
+    results = run_full_pipeline(
+        "configs/quickstart.yaml", synthetic=True, overrides={"output_dir": run_id}
+    )
+    run_dir = RUNS_DIR / run_id
+    re_results = evaluate_run(None, str(run_dir))
+    assert (run_dir / "results_eval.yaml").exists()
+    # deterministic scenarios (no RNG) must match bit-for-bit
+    for scen in ("full_observation", "no_dat", "no_mri", "clinical_only"):
+        for metric in ("roc_auc", "ece", "brier_score"):
+            assert re_results[scen][metric] == pytest.approx(
+                float(results[scen][metric]), abs=1e-6
+            ), (scen, metric)
