@@ -78,12 +78,14 @@ def apply_masks_to_matrix(
     X: np.ndarray, masks: Dict[str, np.ndarray], feature_cols: List[str]
 ) -> np.ndarray:
     """Host-facing wrapper with the reference's signature
-    (feature_utils.py:48-61)."""
+    (feature_utils.py:48-61). Numpy on purpose: standalone host<->device
+    round trips for tiny tabular matrices cost more than the multiply;
+    ``apply_modality_masks`` above is the jitted form for fusing into
+    device programs (used by the parallel CV engine and model forwards).
+    """
     assign = feature_modality_matrix(feature_cols)
     from pd_fusion.data.missingness import get_modality_mask_matrix
 
     mm = get_modality_mask_matrix(masks).astype(np.float32)
-    out = apply_modality_masks(
-        jnp.asarray(X, dtype=jnp.float32), jnp.asarray(mm), jnp.asarray(assign)
-    )
-    return np.asarray(out)
+    keep = 1.0 - (assign[None, :, :] * (1.0 - mm[:, None, :])).sum(-1)
+    return np.asarray(X, np.float32) * keep

@@ -57,14 +57,14 @@ class NaNRobustScaler:
         return self
 
     def transform(self, X: np.ndarray) -> np.ndarray:
+        # numpy on purpose: these matrices are tiny (hundreds x tens) and a
+        # standalone device call costs a host<->device round trip that
+        # dwarfs the arithmetic; the jitted _scale_transform above exists
+        # for fusing the same math INTO device programs.
         if self.medians is None:
             raise ValueError("Scaler not fitted")
-        out = _scale_transform(
-            jnp.asarray(X, dtype=jnp.float32),
-            jnp.asarray(self.medians, dtype=jnp.float32),
-            jnp.asarray(self.iqrs, dtype=jnp.float32),
-        )
-        return np.asarray(out)
+        out = (np.asarray(X, np.float32) - np.float32(self.medians)) / np.float32(self.iqrs)
+        return np.where(np.isnan(out), np.float32(0.0), out)
 
 
 def preprocess_features(
