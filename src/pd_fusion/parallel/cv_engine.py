@@ -152,6 +152,42 @@ def _stack_params(param_list):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *param_list)
 
 
+def _cv_mesh(K: int, N: int):
+    """Build a ("fold", "data") mesh over all local devices when the fold
+    and batch axes divide evenly; None on a single device (or when
+    sharding would be ragged). XLA inserts the batch-axis gradient psum —
+    no hand-written collectives (scaling-book recipe)."""
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return None
+    fold_dim = 1
+    for cand in range(min(K, n_dev), 0, -1):
+        if K % cand == 0 and n_dev % cand == 0:
+            fold_dim = cand
+            break
+    data_dim = n_dev // fold_dim
+    if data_dim > 1 and N % data_dim != 0:
+        data_dim = 1  # keep it simple: replicate data axis when ragged
+    devs = np.array(jax.devices()[: fold_dim * data_dim]).reshape(fold_dim, data_dim)
+    from jax.sharding import Mesh
+
+    return Mesh(devs, ("fold", "data"))
+
+
+def _shard_cv_inputs(mesh, params_stack, X, y, w, keys):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fold_batch = NamedSharding(mesh, P("fold", "data"))
+    fold_only = NamedSharding(mesh, P("fold"))
+    return (
+        jax.tree_util.tree_map(lambda a: jax.device_put(a, fold_only), params_stack),
+        jax.device_put(X, fold_batch),
+        jax.device_put(y, fold_batch),
+        jax.device_put(w, fold_batch),
+        jax.device_put(keys, fold_only),
+    )
+
+
 def supports_parallel_cv(config) -> bool:
     if config.get("parallel_cv", True) is False:
         return False
@@ -258,6 +294,14 @@ def run_parallel_cv(config, df, masks, folds, eval_config):
     param_list = [mlp_init(fresh_key(), dims) for _ in range(K)]
     params_stack = _stack_params(param_list)
     keys = jnp.stack([fresh_key() for _ in range(K)])
+
+    mesh = _cv_mesh(K, X_stack.shape[1]) if config.get("cv_mesh", "auto") != "off" else None
+    if mesh is not None:
+        params_stack, X_stack, y_stack, w_tr, keys = _shard_cv_inputs(
+            mesh, params_stack, jnp.asarray(X_stack), jnp.asarray(y_stack),
+            jnp.asarray(w_tr), keys,
+        )
+        logger.info(f"parallel CV sharded over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     if model_type == "fusion_moddrop":
         # assignment matrix over the sorted-name block layout
