@@ -142,9 +142,17 @@ def _bottleneck_block(x, p, stride, train):
 
 def resnet_apply(params, x, arch: str = "resnet18", train: bool = False):
     """x: [N, H, W, 3] -> embeddings [N, emb_dim] (global-avg-pooled; the
-    classification fc is never constructed, matching fc=Identity)."""
+    classification fc is never constructed, matching fc=Identity).
+
+    During training each residual block is rematerialized
+    (``jax.checkpoint``): activations are recomputed in the backward pass
+    instead of stored, trading ~30% extra FLOPs for an order-of-magnitude
+    activation-memory cut — what lets 64-slice 224² fine-tune bags fit
+    HBM (SURVEY's remat guidance)."""
     cfg = _CONFIGS[arch]
     block_fn = _basic_block if cfg["block"] == "basic" else _bottleneck_block
+    if train:
+        block_fn = jax.checkpoint(block_fn, static_argnums=(2, 3))
 
     out = _conv(x, params["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
     out = jax.nn.relu(_bn(out, params["bn1"], train))
