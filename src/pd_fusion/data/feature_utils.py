@@ -12,7 +12,6 @@ vmap over many mask configurations without host round-trips.
 from typing import Dict, List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 

@@ -31,7 +31,7 @@ batches and per-call dispatch latency amortizes.
 """
 import concurrent.futures as cf
 from functools import partial
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -42,7 +42,6 @@ from pd_fusion.ops.image import (
     slices_to_imagenet_batch,
     take_slices,
 )
-from pd_fusion.imaging.nifti import read_nifti
 from pd_fusion.utils.io import load_pickle, save_pickle
 from pd_fusion.utils.seed import fresh_key
 

@@ -16,7 +16,7 @@ Numerics: the network returns LOGITS; losses use the softplus form of BCE
 (bce = softplus(z) - y*z) instead of the reference's Sigmoid+BCELoss,
 which is mathematically identical but stable in bf16/f32 on TPU.
 """
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,7 @@ slice batches through it). Design:
 ImageNet preprocessing constants (mean/std) match torchvision's
 weights.meta (reference :215-222).
 """
-from functools import partial
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ Numerical contracts:
   ``ndimage.affine_transform(rot, offset, order=1, mode='constant')``.
 """
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

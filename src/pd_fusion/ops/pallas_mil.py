@@ -13,8 +13,6 @@ caller (L, H static). Falls back to interpret mode off-TPU so tests run
 anywhere; the public entry `attention_pool` dispatches pallas-on-TPU /
 pure-XLA elsewhere and both paths are covered by an equivalence test.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,7 @@ trainer). GBDT/MIL fall back to the sequential path in run_experiment.
 """
 import logging
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
