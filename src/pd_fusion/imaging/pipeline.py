@@ -283,15 +283,23 @@ def embed_raw_batch_augmented(backbone_params, raw, mean, std, angle, translate,
     return emb if per_slice else jnp.mean(emb, axis=1)
 
 
-@partial(jax.jit, static_argnames=("arch", "input_size", "per_slice"))
+@partial(jax.jit, static_argnames=("arch", "input_size", "per_slice", "compute_dtype"))
 def embed_slices_batch(backbone_params, slices, mean, std, arch: str, input_size: int,
-                       per_slice: bool):
+                       per_slice: bool, compute_dtype: str = "float32"):
     """[B, L, h, w] normalized slices -> [B, L, E] (per_slice) or mean-
     pooled [B, E]; one fused resize+normalize+ResNet program with a B*L
-    slice batch on the MXU."""
+    slice batch on the MXU. compute_dtype="bfloat16" runs the backbone in
+    bf16 (2x MXU throughput; accumulation stays f32 via
+    preferred_element_type) — embeddings are returned in f32."""
     B, L = slices.shape[:2]
     batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False).reshape(B, L, -1)
+    if compute_dtype == "bfloat16":
+        backbone_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), backbone_params
+        )
+        batch = batch.astype(jnp.bfloat16)
+    emb = resnet_apply(backbone_params, batch, arch, train=False)
+    emb = emb.astype(jnp.float32).reshape(B, L, -1)
     return emb if per_slice else jnp.mean(emb, axis=1)
 
 
@@ -330,6 +338,7 @@ def run_resnet_embedding_pipeline(
     per_slice: bool = False,
     prefetch_depth: int = 6,
     progress: bool = True,
+    compute_dtype: str = "float32",
 ) -> List[np.ndarray]:
     """Stream all subjects through the device pipeline. Returns a list of
     embeddings ([emb_dim] or [n_slices, emb_dim] per subject).
@@ -428,7 +437,8 @@ def run_resnet_embedding_pipeline(
                 stack[j] = sl
             if tta <= 1:
                 emb = embed_slices_batch(
-                    backbone_params, stack, mean, std, arch, input_size, per_slice
+                    backbone_params, stack, mean, std, arch, input_size, per_slice,
+                    compute_dtype,
                 )
             else:
                 emb = None

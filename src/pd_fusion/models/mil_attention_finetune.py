@@ -46,7 +46,11 @@ from pd_fusion.utils.io import load_pickle, save_pickle
 from pd_fusion.utils.seed import fresh_key
 
 
-@partial(jax.jit, static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"))
+@partial(
+    jax.jit,
+    static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"),
+    donate_argnums=(0, 1, 2),  # params/opt_state buffers are dead after the update
+)
 def _ft_step(
     backbone_params,
     head_params,

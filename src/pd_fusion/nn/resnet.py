@@ -42,13 +42,16 @@ def _conv(x, w, stride=1, padding=None):
     if padding is None:
         kh, kw = w.shape[0], w.shape[1]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    # accumulation type follows the compute dtype: f32 path unchanged;
+    # bf16 path keeps activations bf16 (MXU still accumulates f32
+    # internally before the cast)
     return jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=w.dtype,
     )
 
 

@@ -119,3 +119,25 @@ def test_zscore_volume():
     vol = rng.rand(8, 8, 8).astype(np.float32) * 7 + 3
     got = np.asarray(zscore_volume(vol))
     np.testing.assert_allclose(got, (vol - vol.mean()) / (vol.std() + 1e-6), atol=1e-4)
+
+
+def test_bf16_embed_close_to_f32():
+    import jax
+    import numpy as np
+
+    from pd_fusion.imaging.pipeline import embed_slices_batch
+    from pd_fusion.nn.resnet import init_resnet
+
+    rng = np.random.RandomState(0)
+    params = init_resnet(jax.random.PRNGKey(0), "resnet18")
+    slices = rng.rand(2, 4, 32, 32).astype(np.float32)
+    mean = np.array([0.5] * 3, np.float32)
+    std = np.array([0.5] * 3, np.float32)
+    e32 = np.asarray(embed_slices_batch(params, slices, mean, std, "resnet18", 32, False))
+    e16 = np.asarray(
+        embed_slices_batch(params, slices, mean, std, "resnet18", 32, False, "bfloat16")
+    )
+    assert e16.dtype == np.float32
+    for a, b in zip(e32, e16):
+        cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.99
