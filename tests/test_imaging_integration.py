@@ -137,7 +137,7 @@ def test_cnn3d_autoencoder_learns_and_embeds():
     recon0, emb0 = cnn3d_apply(params, jnp.asarray(vols), (16, 16, 16))
     assert recon0.shape == vols.shape
     loss0 = float(np.mean((np.asarray(recon0) - vols) ** 2))
-    params = train_cnn3d(params, jnp.asarray(vols), jax.random.PRNGKey(1), 1e-3, (16, 16, 16), 30, 3)
+    params = train_cnn3d(params, jnp.asarray(vols), jax.random.PRNGKey(1), 3e-3, (16, 16, 16), 15, 3)
     recon1, _ = cnn3d_apply(params, jnp.asarray(vols), (16, 16, 16))
     loss1 = float(np.mean((np.asarray(recon1) - vols) ** 2))
     assert loss1 < loss0  # reconstruction improves

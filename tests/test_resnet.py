@@ -91,11 +91,13 @@ def _run_oracle_check():
 def test_resnet_shapes_and_determinism():
     import jax
 
-    for arch in ("resnet18", "resnet50"):
-        params = init_resnet(jax.random.PRNGKey(0), arch)
-        x = np.random.RandomState(0).rand(1, 96, 96, 3).astype(np.float32)
-        out = np.asarray(resnet_apply(params, x, arch))
-        assert out.shape == (1, emb_dim(arch))
-        params2 = init_resnet(jax.random.PRNGKey(0), arch)
-        out2 = np.asarray(resnet_apply(params2, x, arch))
-        np.testing.assert_allclose(out, out2)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    # resnet50: shape only (small input keeps the compile cheap)
+    params50 = init_resnet(jax.random.PRNGKey(0), "resnet50")
+    assert np.asarray(resnet_apply(params50, x, "resnet50")).shape == (1, emb_dim("resnet50"))
+    # resnet18: determinism of seeded init
+    params = init_resnet(jax.random.PRNGKey(0), "resnet18")
+    out = np.asarray(resnet_apply(params, x, "resnet18"))
+    assert out.shape == (1, emb_dim("resnet18"))
+    params2 = init_resnet(jax.random.PRNGKey(0), "resnet18")
+    np.testing.assert_allclose(out, np.asarray(resnet_apply(params2, x, "resnet18")))
