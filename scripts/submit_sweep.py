@@ -61,6 +61,11 @@ def main():
     parser = argparse.ArgumentParser(description="Submit model/seed sweep (SLURM or local)")
     parser.add_argument("--dry-run", action="store_true", help="Generate scripts but do not submit")
     parser.add_argument("--local", action="store_true", help="Run the grid sequentially in-process")
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="With --local: train every seed's CV folds in ONE stacked device "
+             "program per model (parallel-CV families only)",
+    )
     parser.add_argument("--partition", type=str, default="tpu", help="SLURM partition")
     parser.add_argument("--base-config", type=str, default="configs/dev_benchmark_suite.yaml")
     parser.add_argument("--synthetic", action="store_true")
@@ -85,6 +90,35 @@ def main():
         from pd_fusion.cli import _build_model_overrides
 
         setup_logging()
+        if args.fused and args.k_fold:
+            from pd_fusion.parallel.cv_engine import supports_parallel_cv
+            from pd_fusion.parallel.seed_sweep import run_multi_seed_cv
+            from pd_fusion.utils.io import load_yaml
+
+            for model in models:
+                class _A:  # shim for override expansion
+                    pass
+
+                a = _A()
+                a.model, a.config = model, args.base_config
+                config = load_yaml(Path(args.base_config))
+                config.update(_build_model_overrides(a))
+                if args.dataset:
+                    config["dataset"] = args.dataset
+                if not supports_parallel_cv(config):
+                    print(f"[fused] {model}: not parallel-CV-capable; skipping "
+                          "(rerun without --fused for the sequential path)")
+                    continue
+                data_config = load_yaml(Path(config.get("data_config", "configs/data_ppmi.yaml")))
+                eval_config = load_yaml(Path(config.get("eval_config", "configs/eval_missingness.yaml")))
+                print(f"[fused] {model}: {len(SEEDS)} seeds x {args.k_fold} folds in one program")
+                run_multi_seed_cv(
+                    config, data_config, eval_config, seeds=SEEDS, k=args.k_fold,
+                    synthetic=args.synthetic, sweep_dir=sweep_dir / model,
+                )
+            print(f"Fused local sweep complete. Results in {sweep_dir}")
+            return
+
         for model in models:
             for seed in SEEDS:
                 job_name = f"{model}_s{seed}"

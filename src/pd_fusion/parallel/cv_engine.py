@@ -196,8 +196,13 @@ def supports_parallel_cv(config) -> bool:
     return config.get("model_type") in PARALLEL_CV_FAMILIES
 
 
-def run_parallel_cv(config, df, masks, folds, eval_config):
+def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
     """Train + evaluate all folds in stacked device programs.
+
+    ``fold_masks`` optionally supplies per-fold (train_masks, val_masks)
+    dicts (used by the fused multi-seed sweep, where folds from different
+    seeds carry different mask arrays); by default they derive from the
+    global ``masks`` via positional slicing.
 
     Returns (metrics_all, fold_preds):
       metrics_all: list of per-fold {scenario: {metric: float}} dicts
@@ -226,9 +231,12 @@ def run_parallel_cv(config, df, masks, folds, eval_config):
     val_mask_rows = []  # per fold per scenario mask matrices (for masked fusion)
     moe_fold_data = []
 
-    for train_df, val_df in folds:
-        train_masks = get_subset_masks(masks, train_df.index)
-        val_masks = get_subset_masks(masks, val_df.index)
+    for fi, (train_df, val_df) in enumerate(folds):
+        if fold_masks is not None:
+            train_masks, val_masks = fold_masks[fi]
+        else:
+            train_masks = get_subset_masks(masks, train_df.index)
+            val_masks = get_subset_masks(masks, val_df.index)
 
         if model_type == "moe":
             Xd_tr, Xd_va, dims = {}, {}, {}

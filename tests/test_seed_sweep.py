@@ -1,0 +1,55 @@
+"""Fused multi-seed sweep: S seeds x K folds in one stacked program,
+emitting reference-layout sweep artifacts."""
+import shutil
+
+import pandas as pd
+import pytest
+import yaml
+
+from pd_fusion.paths import RUNS_DIR
+from pd_fusion.utils.io import load_yaml
+
+
+def test_fused_multi_seed_sweep(tmp_path):
+    from pd_fusion.parallel.seed_sweep import run_multi_seed_cv
+
+    config = load_yaml("configs/quickstart.yaml")
+    config.update(
+        {
+            "model_type": "fusion_moddrop",
+            "params": {"hidden_dims": [16], "dropout": 0.1, "lr": 0.01,
+                       "batch_size": 32, "epochs": 20, "moddrop_rate": 0.3},
+        }
+    )
+    data_config = load_yaml("configs/data_ppmi.yaml")
+    eval_config = load_yaml("configs/eval_missingness.yaml")
+
+    seeds = [42, 43, 44]
+    out, sweep_dir = run_multi_seed_cv(
+        config, data_config, eval_config, seeds=seeds, k=3, synthetic=True,
+        sweep_dir=tmp_path / "sweep",
+    )
+
+    assert set(out) == set(seeds)
+    for seed in seeds:
+        run_dir = tmp_path / "sweep" / f"fusion_moddrop_s{seed}"
+        assert (run_dir / "results_aggregated.yaml").exists()
+        assert (run_dir / "resolved_config.yaml").exists()
+        for i in (1, 2, 3):
+            assert (run_dir / f"results_fold_{i}.yaml").exists()
+            assert (run_dir / f"preds_fold_{i}_full_observation.csv").exists()
+        auc = out[seed]["full_observation"]["roc_auc"]["mean"]
+        assert 0.55 < auc <= 1.0, (seed, auc)
+
+    # seeds see different synthetic datasets -> different predictions
+    p42 = pd.read_csv(tmp_path / "sweep" / "fusion_moddrop_s42" / "preds_fold_1_full_observation.csv")
+    p43 = pd.read_csv(tmp_path / "sweep" / "fusion_moddrop_s43" / "preds_fold_1_full_observation.csv")
+    assert not p42["y_prob"].equals(p43["y_prob"])
+
+    # the sweep aggregator consumes the fused layout unchanged
+    from pd_fusion.analysis.aggregate_results import aggregate
+
+    df = aggregate(tmp_path / "sweep", tmp_path / "summary.csv")
+    assert df is not None
+    assert len(df[df["Scenario"] == "full_observation"]) == 3
+    assert set(df["Seed"]) == set(seeds)
