@@ -5,9 +5,9 @@ Reference behavior (src/pd_fusion/models/fusion_moddrop.py):
   from ``modality_dims`` in sorted-name order (:17-28);
 - training: minibatch Adam; per BATCH, each modality is dropped whole with
   prob ``moddrop_rate`` — one Bernoulli draw per modality per batch shared
-  by all samples (:44-53, 77-91). (The per-SAMPLE variant used by the
-  stress-test suite lives in scripts/ppmi_stress_test parity code, not
-  here.)
+  by all samples (:44-53, 77-91). The per-SAMPLE variant used by the
+  stress-test suite (ppmi_stress_test.py:192-199) is available via
+  ``moddrop_per_sample: true``.
 - inference: user-provided masks zero the missing modality blocks
   (:103-112).
 
@@ -65,6 +65,7 @@ class ModalityDropoutModel(BaseModel):
             float(self.params.get("dropout", 0.2)),
             float(self.params.get("weight_decay", 0.0)),
             float(self.params.get("moddrop_rate", 0.2)),
+            bool(self.params.get("moddrop_per_sample", False)),
         )
         jax.block_until_ready(self.net_params)
 

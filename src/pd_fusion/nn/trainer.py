@@ -101,14 +101,15 @@ def minibatch_moddrop_impl(
     dropout: float = 0.2,
     weight_decay: float = 0.0,
     moddrop_rate: float = 0.2,
+    per_sample: bool = False,
 ) -> Params:
-    """Minibatch Adam with per-batch whole-modality dropout (reference
-    fusion_moddrop.py:44-91: one Bernoulli draw per modality per BATCH,
-    the same mask applied to every sample in the batch).
-
-    The modality-dropout mask is fused into the forward pass: batch X is
-    multiplied by ``1 - assign @ (1 - keep)`` before the MLP, with keep ~
-    Bernoulli(1 - moddrop_rate) per modality per minibatch.
+    """Minibatch Adam with whole-modality dropout fused into the jitted
+    forward. Two documented reference semantics (SURVEY §7 hard-parts):
+    - per_sample=False (flagship fusion_moddrop.py:44-53): ONE Bernoulli
+      draw per modality per BATCH, shared by every sample;
+    - per_sample=True (the stress-suite variant,
+      ppmi_stress_test.py:192-199): an independent draw per SAMPLE per
+      modality.
     """
     n, _ = X.shape
     n_batches = -(-n // batch_size)
@@ -118,8 +119,13 @@ def minibatch_moddrop_impl(
     n_mod = assign.shape[1]
 
     def batch_loss(p, Xb, yb, wb, keep_mods, dk):
-        feat_keep = 1.0 - jnp.dot(assign, 1.0 - keep_mods)
-        Xb = Xb * feat_keep[None, :]
+        if per_sample:
+            # keep_mods [bs, M] -> per-sample feature keep [bs, F]
+            feat_keep = 1.0 - jnp.dot(1.0 - keep_mods, assign.T)
+            Xb = Xb * feat_keep
+        else:
+            feat_keep = 1.0 - jnp.dot(assign, 1.0 - keep_mods)
+            Xb = Xb * feat_keep[None, :]
         logits = mlp_apply(p, Xb, dropout_rate=dropout, dropout_key=dk)
         return bce_with_logits(logits, yb, wb)
 
@@ -139,7 +145,8 @@ def minibatch_moddrop_impl(
             p, s = c
             bidx, bw, bk = inp
             mk, dk = jax.random.split(bk)
-            keep = jax.random.bernoulli(mk, 1.0 - moddrop_rate, (n_mod,)).astype(X.dtype)
+            keep_shape = (batch_size, n_mod) if per_sample else (n_mod,)
+            keep = jax.random.bernoulli(mk, 1.0 - moddrop_rate, keep_shape).astype(X.dtype)
             grads = jax.grad(batch_loss)(p, X[bidx], y[bidx], bw, keep, dk)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
@@ -155,7 +162,9 @@ def minibatch_moddrop_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate"),
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
 )
 def train_minibatch_moddrop(
     params: Params,
@@ -170,9 +179,11 @@ def train_minibatch_moddrop(
     dropout: float = 0.2,
     weight_decay: float = 0.0,
     moddrop_rate: float = 0.2,
+    per_sample: bool = False,
 ) -> Params:
     return minibatch_moddrop_impl(
-        params, X, y, w, assign, key, lr, epochs, batch_size, dropout, weight_decay, moddrop_rate
+        params, X, y, w, assign, key, lr, epochs, batch_size, dropout, weight_decay,
+        moddrop_rate, per_sample,
     )
 
 

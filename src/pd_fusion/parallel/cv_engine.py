@@ -82,13 +82,17 @@ def _train_folds_fullbatch(params_stack, X, y, w, keys, lr, epochs, dropout, wei
 
 @partial(
     jax.jit,
-    static_argnames=("epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate"),
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
 )
 def _train_folds_moddrop(
-    params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout, weight_decay, moddrop_rate
+    params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout, weight_decay,
+    moddrop_rate, per_sample=False,
 ):
     f = lambda p, x, yy, ww, k: minibatch_moddrop_impl(
-        p, x, yy, ww, assign, k, lr, epochs, batch_size, dropout, weight_decay, moddrop_rate
+        p, x, yy, ww, assign, k, lr, epochs, batch_size, dropout, weight_decay,
+        moddrop_rate, per_sample,
     )
     return jax.vmap(f)(params_stack, X, y, w, keys)
 
@@ -330,6 +334,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
             dropout,
             wd,
             float(params_cfg.get("moddrop_rate", 0.2)),
+            bool(params_cfg.get("moddrop_per_sample", False)),
         )
     else:
         trained = _train_folds_fullbatch(

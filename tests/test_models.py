@@ -160,3 +160,25 @@ def test_conformal_wrapper_thresholds_and_abstention():
         key = "".join(str(int(v)) for v in mask_mat[i])
         thr = w.thresholds.get(key, w.global_threshold)
         assert abstain[i] == (scores[i] > thr)
+
+
+def test_fusion_moddrop_per_sample_variant():
+    """moddrop_per_sample: true uses the stress-suite semantics (an
+    independent Bernoulli per sample per modality) and still learns."""
+    from pd_fusion.models.fusion_moddrop import ModalityDropoutModel
+
+    set_seed(0)
+    rng = np.random.RandomState(5)
+    n = 200
+    y = rng.randint(0, 2, n)
+    Xc = rng.randn(n, 4) + y[:, None] * 2.0
+    Xd = rng.randn(n, 3) + y[:, None] * 1.0
+    X = np.concatenate([Xc, Xd, rng.randn(n, 5)], axis=1).astype(np.float32)
+    m = ModalityDropoutModel(
+        {"clinical": 4, "datspect": 3, "mri": 5},
+        {"hidden_dims": [16], "dropout": 0.1, "lr": 0.01, "batch_size": 32,
+         "epochs": 40, "moddrop_rate": 0.3, "moddrop_per_sample": True},
+    )
+    m.train(X, y)
+    full = {k: np.ones(n, dtype=int) for k in ("clinical", "datspect", "mri")}
+    assert _auc(y, m.predict_proba(X, full)) > 0.85
