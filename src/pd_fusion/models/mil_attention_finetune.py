@@ -192,12 +192,15 @@ class MilAttentionFineTuneModel(BaseModel):
         key = str(bag)
         if key in self._slice_cache:
             return self._slice_cache[key]
+        from pd_fusion.imaging import native
         from pd_fusion.imaging.pipeline import load_volume
 
-        vol = jnp.asarray(load_volume(bag, self.target_shape))
-        vol = percentile_normalize(vol)
-        parts = [take_slices(vol, ax, ct) for ax, ct in zip(self.axes, self.counts)]
-        slices = np.asarray(jnp.concatenate(parts, axis=0))
+        slices = native.prep_slices_native(bag, self.target_shape, self.axes, self.counts)
+        if slices is None:
+            vol = jnp.asarray(load_volume(bag, self.target_shape))
+            vol = percentile_normalize(vol)
+            parts = [take_slices(vol, ax, ct) for ax, ct in zip(self.axes, self.counts)]
+            slices = np.asarray(jnp.concatenate(parts, axis=0))
         self._slice_cache[key] = slices
         return slices
 
