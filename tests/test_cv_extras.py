@@ -187,3 +187,53 @@ def test_evaluate_subcommand_roundtrip(cleanup_run):
             assert re_results[scen][metric] == pytest.approx(
                 float(results[scen][metric]), abs=1e-6
             ), (scen, metric)
+
+
+def test_mil_attention_cv_with_nested_calibration(cleanup_run, monkeypatch):
+    """MIL + calibrate + nested_calibration: the sequential fold loop with
+    the isotonic wrap over bag predictions (the openneuro_ds001907 MIL
+    configs' exact combination)."""
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+
+    rng = np.random.RandomState(2)
+    n = 60
+    y = rng.randint(0, 2, n)
+    bags = []
+    for i in range(n):
+        L = rng.randint(6, 12)
+        bag = rng.randn(L, 10).astype(np.float32)
+        if y[i]:
+            bag[rng.choice(L, 2, replace=False)] += 2.0
+        bags.append(bag)
+    df = pd.DataFrame({"patno": np.arange(n), "diagnosis": y})
+    df["mri_mil"] = bags
+    masks = {
+        "clinical": np.zeros(n, int),
+        "datspect": np.zeros(n, int),
+        "mri": np.ones(n, int),
+    }
+    import pd_fusion.experiments.run_experiment as R
+
+    monkeypatch.setattr(
+        R, "load_dataset", lambda config, data_config, synthetic: ("milset", df, masks)
+    )
+
+    run_id = "pytest_cv_mil_cal"
+    cleanup_run.append(run_id)
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml",
+        k=2,
+        synthetic=True,
+        overrides={
+            "output_dir": run_id,
+            "model_type": "mil_attention",
+            "mil_column": "mri_mil",
+            "calibrate": True,
+            "nested_calibration": True,
+            "calibration_split": 0.25,
+            "params": {"hidden_dim": 16, "attn_dim": 8, "dropout": 0.1, "lr": 0.01,
+                       "batch_size": 8, "epochs": 10, "missing_prob": 0.5},
+        },
+    )
+    assert "full_observation" in agg
+    assert 0.0 <= agg["full_observation"]["ece"]["mean"] <= 1.0
