@@ -59,6 +59,10 @@ def get_group_kfold_splits(
         splitter = StratifiedGroupKFold(n_splits=n_splits, shuffle=True, random_state=seed)
         for train_idx, val_idx in splitter.split(df, y, groups):
             yield df.iloc[train_idx], df.iloc[val_idx]
+    else:  # pragma: no cover - old sklearn; don't silently yield zero folds
+        splitter = GroupKFold(n_splits=n_splits)
+        for train_idx, val_idx in splitter.split(df, y, groups):
+            yield df.iloc[train_idx], df.iloc[val_idx]
 
 
 def split_train_calibration(

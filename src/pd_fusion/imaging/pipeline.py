@@ -30,6 +30,7 @@ reduction), batched SUBJECTS_PER_CALL at a time so the MXU sees large
 batches and per-call dispatch latency amortizes.
 """
 import concurrent.futures as cf
+import hashlib
 from functools import partial
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -383,8 +384,17 @@ def run_resnet_embedding_pipeline(
     results: List[Optional[jax.Array]] = [None] * n
 
     def tta_params(batch_idx, nb):
+        # Stable per-subject seed. The reference seeds with builtin
+        # hash() (build_resnet2d_mil_embeddings.py:120), which is
+        # PYTHONHASHSEED-randomized across processes; a sha256 digest
+        # keeps its per-subject-stream semantics but is reproducible
+        # between runs (documented deviation).
         rngs = [
-            np.random.default_rng(abs(hash(str(subject_ids[i]))) % (2**32))
+            np.random.default_rng(
+                int.from_bytes(
+                    hashlib.sha256(str(subject_ids[i]).encode()).digest()[:4], "little"
+                )
+            )
             for i in batch_idx
         ] + [np.random.default_rng(0)] * (B - nb)
         draws = []

@@ -40,7 +40,12 @@ class CalibratedModel:
         return self.calibrator.predict_proba(preds.reshape(-1, 1))[:, 1]
 
     def __getattr__(self, name):
-        # delegate e.g. mask_dim to the wrapped model
+        # delegate e.g. mask_dim to the wrapped model — but never dunders,
+        # and never before __init__/__setstate__ populated __dict__
+        # (pickle probes attributes on a bare instance; unconditional
+        # delegation recurses forever through self.base_model).
+        if name.startswith("__") or "base_model" not in self.__dict__:
+            raise AttributeError(name)
         return getattr(self.base_model, name)
 
     def save(self, path):

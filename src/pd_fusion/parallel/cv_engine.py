@@ -200,13 +200,18 @@ def supports_parallel_cv(config) -> bool:
     return config.get("model_type") in PARALLEL_CV_FAMILIES
 
 
-def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
+def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold_keys=None):
     """Train + evaluate all folds in stacked device programs.
 
     ``fold_masks`` optionally supplies per-fold (train_masks, val_masks)
     dicts (used by the fused multi-seed sweep, where folds from different
     seeds carry different mask arrays); by default they derive from the
     global ``masks`` via positional slicing.
+
+    ``fold_keys`` optionally supplies per-fold (init_key, train_key) PRNG
+    pairs (the fused sweep passes keys drawn from each fold's own seed so
+    fused and standalone per-seed runs produce identical params); by
+    default keys split off the global chain.
 
     Returns (metrics_all, fold_preds):
       metrics_all: list of per-fold {scenario: {metric: float}} dicts
@@ -293,7 +298,8 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
 
     if model_type == "moe":
         return _run_parallel_cv_moe(
-            config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds
+            config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds,
+            fold_keys=fold_keys,
         )
 
     # ---- stack + train ----------------------------------------------------
@@ -303,9 +309,13 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
 
     input_dim = X_stack.shape[-1]
     dims = [input_dim, *params_cfg["hidden_dims"], 1]
-    param_list = [mlp_init(fresh_key(), dims) for _ in range(K)]
+    if fold_keys is not None:
+        param_list = [mlp_init(fold_keys[i][0], dims) for i in range(K)]
+        keys = jnp.stack([fold_keys[i][1] for i in range(K)])
+    else:
+        param_list = [mlp_init(fresh_key(), dims) for _ in range(K)]
+        keys = jnp.stack([fresh_key() for _ in range(K)])
     params_stack = _stack_params(param_list)
-    keys = jnp.stack([fresh_key() for _ in range(K)])
 
     mesh = _cv_mesh(K, X_stack.shape[1]) if config.get("cv_mesh", "auto") != "off" else None
     if mesh is not None:
@@ -382,7 +392,9 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None):
     return metrics_all, fold_preds
 
 
-def _run_parallel_cv_moe(config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds):
+def _run_parallel_cv_moe(
+    config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds, fold_keys=None
+):
     """Stacked MoE CV: [K, M, N, Fmax] inputs, vmapped stacked-expert train."""
     params_cfg = config["params"]
     K = len(moe_fold_data)
@@ -431,8 +443,13 @@ def _run_parallel_cv_moe(config, moe_fold_data, ytr_list, yva_list, scenarios, g
             w_va[i, si, :nv] = 1.0
 
     param_list = [
-        moe_init(fresh_key(), dims, params_cfg["expert_hidden_dims"], params_cfg["router_hidden_dims"])
-        for _ in range(K)
+        moe_init(
+            fold_keys[i][0] if fold_keys is not None else fresh_key(),
+            dims,
+            params_cfg["expert_hidden_dims"],
+            params_cfg["router_hidden_dims"],
+        )
+        for i in range(K)
     ]
     params_stack = _stack_params(param_list)
 

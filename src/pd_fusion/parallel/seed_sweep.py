@@ -26,7 +26,7 @@ from pd_fusion.data.splits import get_group_kfold_splits, get_kfold_splits, get_
 from pd_fusion.parallel.cv_engine import run_parallel_cv, supports_parallel_cv
 from pd_fusion.paths import RUNS_DIR
 from pd_fusion.utils.io import save_yaml
-from pd_fusion.utils.seed import set_seed
+from pd_fusion.utils.seed import fresh_key, set_seed
 
 logger = logging.getLogger("pd_fusion")
 
@@ -65,8 +65,9 @@ def run_multi_seed_cv(
 
     group_col = config.get("group_col") or config.get("cv_group_col")
 
-    # ---- per-seed host prep: data, folds, masks -------------------------
-    combined_folds, combined_masks, seed_slices, seed_meta = [], [], {}, {}
+    # ---- per-seed host prep: data, folds, masks, PRNG keys ---------------
+    combined_folds, combined_masks, combined_keys = [], [], []
+    seed_slices, seed_meta = {}, {}
     for seed in seeds:
         cfg_s = copy.deepcopy(config)
         cfg_s["seed"] = seed
@@ -82,6 +83,12 @@ def run_multi_seed_cv(
             combined_masks.append(
                 (get_subset_masks(masks, train_df.index), get_subset_masks(masks, val_df.index))
             )
+        # draw keys from THIS seed's chain in the same order a standalone
+        # run_parallel_cv call would (K init keys, then K train keys), so
+        # a fused sweep is bit-reproducible by a per-seed run
+        init_keys = [fresh_key() for _ in folds]
+        train_keys = [fresh_key() for _ in folds]
+        combined_keys.extend(zip(init_keys, train_keys))
         seed_slices[seed] = (start, start + len(folds))
         seed_meta[seed] = (dataset_name, cfg_s)
 
@@ -91,7 +98,8 @@ def run_multi_seed_cv(
         f"models in one stacked program"
     )
     metrics_all, fold_preds = run_parallel_cv(
-        config, None, None, combined_folds, eval_config, fold_masks=combined_masks
+        config, None, None, combined_folds, eval_config,
+        fold_masks=combined_masks, fold_keys=combined_keys,
     )
 
     # ---- per-seed artifacts ---------------------------------------------

@@ -136,6 +136,36 @@ def test_calibration_wrapper_improves_or_keeps_probs():
     assert (np.diff(p[order]) >= -1e-9).all()
 
 
+def test_calibrated_model_pickle_roundtrip(tmp_path):
+    """run_full_pipeline saves calibrated models as whole-object pickles;
+    unpickling probes attributes on an instance with an empty __dict__, so
+    __getattr__ must not delegate unconditionally (RecursionError otherwise)."""
+    import pickle
+
+    from pd_fusion.models.calibrate import CalibratedModel
+    from pd_fusion.models.unimodal_gbdt import UnimodalGBDT
+
+    X, y = _separable(300, 5, seed=7)
+    m = UnimodalGBDT("clinical", {"n_estimators": 20, "random_state": 0})
+    m.train(X[:150], y[:150])
+    cal = CalibratedModel(m, method="isotonic")
+    cal.fit(X[150:], y[150:])
+
+    path = tmp_path / "model.pt"
+    cal.save(path)
+    cal2 = CalibratedModel.load(path)
+    np.testing.assert_allclose(
+        cal2.predict_proba(X[150:]), cal.predict_proba(X[150:]), atol=1e-9
+    )
+    # delegation to the wrapped model still works post-load
+    assert cal2.mod_name == "clinical"
+    # raw pickle round-trip too (what joblib/cloudpickle users hit)
+    cal3 = pickle.loads(pickle.dumps(cal))
+    np.testing.assert_allclose(
+        cal3.predict_proba(X[150:]), cal.predict_proba(X[150:]), atol=1e-9
+    )
+
+
 def test_conformal_wrapper_thresholds_and_abstention():
     from pd_fusion.models.conformal import MaskConformalWrapper
     from pd_fusion.models.dummy import ConstantProbabilityModel

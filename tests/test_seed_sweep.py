@@ -53,3 +53,49 @@ def test_fused_multi_seed_sweep(tmp_path):
     assert df is not None
     assert len(df[df["Scenario"] == "full_observation"]) == 3
     assert set(df["Seed"]) == set(seeds)
+
+
+def test_fused_sweep_reproduces_standalone_seed_run(tmp_path):
+    """A fused (S x K) sweep must produce the SAME per-fold predictions as
+    a standalone run_parallel_cv under each individual seed: fold PRNG keys
+    are drawn from each fold's own seed chain, not the last seed's."""
+    import numpy as np
+
+    from pd_fusion.experiments.run_experiment import load_dataset
+    from pd_fusion.data.splits import get_kfold_splits, get_subset_masks
+    from pd_fusion.parallel.cv_engine import run_parallel_cv
+    from pd_fusion.parallel.seed_sweep import run_multi_seed_cv
+    from pd_fusion.utils.seed import set_seed
+
+    config = load_yaml("configs/quickstart.yaml")
+    config.update(
+        {
+            "model_type": "fusion_moddrop",
+            "params": {"hidden_dims": [8], "dropout": 0.0, "lr": 0.01,
+                       "batch_size": 32, "epochs": 5, "moddrop_rate": 0.0},
+        }
+    )
+    data_config = load_yaml("configs/data_ppmi.yaml")
+    eval_config = {"scenarios": [{"name": "full_observation", "drop_modalities": []}]}
+
+    seeds = [41, 42]
+    _, sweep_dir = run_multi_seed_cv(
+        config, data_config, eval_config, seeds=seeds, k=2, synthetic=True,
+        sweep_dir=tmp_path / "sweep",
+    )
+
+    for seed in seeds:
+        cfg_s = dict(config, seed=seed)
+        set_seed(seed)
+        _, df, masks = load_dataset(cfg_s, data_config, True)
+        folds = list(get_kfold_splits(df, n_splits=2, seed=seed))
+        _, fold_preds = run_parallel_cv(cfg_s, df, masks, folds, eval_config)
+        for i in (1, 2):
+            fused = pd.read_csv(
+                tmp_path / "sweep" / f"fusion_moddrop_s{seed}" /
+                f"preds_fold_{i}_full_observation.csv"
+            )
+            np.testing.assert_allclose(
+                fused["y_prob"].values, np.asarray(fold_preds[i - 1][1]), atol=1e-6,
+                err_msg=f"seed {seed} fold {i}",
+            )
