@@ -18,6 +18,9 @@
 #include <thread>
 #include <algorithm>
 #include <zlib.h>
+#ifdef PD_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -25,30 +28,9 @@ namespace {
 // file reading (plain or gzip)
 // ---------------------------------------------------------------------------
 
-bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
-  // Pre-size from the gzip ISIZE trailer (mod 2^32) to avoid growth
-  // copies; gzFile transparently reads both gzip and plain files.
-  size_t hint = 0;
-  if (FILE* rf = fopen(path, "rb")) {
-    uint8_t magic[2] = {0, 0};
-    if (fread(magic, 1, 2, rf) == 2) {
-      if (magic[0] == 0x1f && magic[1] == 0x8b) {
-        if (fseek(rf, -4, SEEK_END) == 0) {
-          uint8_t tr[4];
-          if (fread(tr, 1, 4, rf) == 4) {
-            hint = static_cast<size_t>(tr[0]) | (static_cast<size_t>(tr[1]) << 8) |
-                   (static_cast<size_t>(tr[2]) << 16) | (static_cast<size_t>(tr[3]) << 24);
-          }
-        }
-      } else {
-        fseek(rf, 0, SEEK_END);
-        long sz = ftell(rf);
-        if (sz > 0) hint = static_cast<size_t>(sz);
-      }
-    }
-    fclose(rf);
-  }
-
+// Slow-but-always-available path: zlib streaming via gzFile (reads both
+// gzip and plain files). `hint` pre-sizes the output buffer.
+bool read_gz_zlib(const char* path, size_t hint, std::vector<uint8_t>& out) {
   gzFile f = gzopen(path, "rb");
   if (!f) return false;
   gzbuffer(f, 1 << 18);
@@ -66,6 +48,82 @@ bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
   out.resize(filled);
   gzclose(f);
   return ok;
+}
+
+bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
+  // Probe the magic and the gzip ISIZE trailer (decompressed size mod
+  // 2^32 — exact for NIfTI volumes, which are far below 4 GiB).
+  size_t hint = 0;
+  long file_size = 0;
+  bool is_gzip = false;
+  if (FILE* rf = fopen(path, "rb")) {
+    uint8_t magic[2] = {0, 0};
+    if (fread(magic, 1, 2, rf) == 2) {
+      fseek(rf, 0, SEEK_END);
+      file_size = ftell(rf);
+      if (magic[0] == 0x1f && magic[1] == 0x8b) {
+        is_gzip = true;
+        if (file_size >= 4 && fseek(rf, -4, SEEK_END) == 0) {
+          uint8_t tr[4];
+          if (fread(tr, 1, 4, rf) == 4) {
+            hint = static_cast<size_t>(tr[0]) | (static_cast<size_t>(tr[1]) << 8) |
+                   (static_cast<size_t>(tr[2]) << 16) | (static_cast<size_t>(tr[3]) << 24);
+          }
+        }
+      } else if (file_size > 0) {
+        hint = static_cast<size_t>(file_size);
+      }
+    }
+    fclose(rf);
+  }
+
+#ifdef PD_HAVE_LIBDEFLATE
+  // Fast path: whole-buffer gzip decompress with libdeflate (~2-3x the
+  // throughput of zlib's streaming inflate — the measured floor of the
+  // embed pipeline on this 1-core host). Any anomaly (truncated file,
+  // multi-member beyond what we loop over, bad ISIZE) falls back to zlib.
+  if (is_gzip && file_size > 18) {
+    std::vector<uint8_t> comp(static_cast<size_t>(file_size));
+    bool read_ok = false;
+    if (FILE* rf = fopen(path, "rb")) {
+      read_ok = fread(comp.data(), 1, comp.size(), rf) == comp.size();
+      fclose(rf);
+    }
+    if (read_ok) {
+      if (libdeflate_decompressor* d = libdeflate_alloc_decompressor()) {
+        out.clear();
+        out.resize(hint ? hint : comp.size() * 4);
+        size_t in_pos = 0, out_pos = 0;
+        bool ok = true;
+        // loop over gzip members (NIfTI is single-member; be robust)
+        while (in_pos < comp.size() &&
+               !(comp.size() - in_pos < 18)) {  // min gzip member size
+          size_t in_used = 0, out_used = 0;
+          libdeflate_result r = libdeflate_gzip_decompress_ex(
+              d, comp.data() + in_pos, comp.size() - in_pos,
+              out.data() + out_pos, out.size() - out_pos, &in_used, &out_used);
+          if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+            out.resize(out.size() * 2);
+            continue;
+          }
+          if (r != LIBDEFLATE_SUCCESS) {
+            ok = false;
+            break;
+          }
+          in_pos += in_used;
+          out_pos += out_used;
+        }
+        libdeflate_free_decompressor(d);
+        if (ok && out_pos > 0) {
+          out.resize(out_pos);
+          return true;
+        }
+      }
+    }
+  }
+#endif
+
+  return read_gz_zlib(path, hint, out);
 }
 
 template <typename T>
@@ -334,7 +392,10 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   if (int rc = pd_read_resize_nifti(path, t0, t1, t2, vol.data(), n_threads)) return rc;
   const int64_t count = static_cast<int64_t>(vol.size());
 
-  // percentile over the positive mask (numpy 'linear' interpolation)
+  // percentile over the positive mask (numpy 'linear' interpolation).
+  // Both quantiles share ONE partial sort: nth_element for the 1% point
+  // leaves everything >= it to the right, so the 99% point only needs a
+  // partition of that right-hand slice.
   std::vector<float> vals;
   vals.reserve(count);
   for (int64_t i = 0; i < count; ++i) {
@@ -345,52 +406,63 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
     lo = *std::min_element(vol.begin(), vol.end());
     hi = *std::max_element(vol.begin(), vol.end());
   } else {
+    size_t from = 0;
     auto percentile = [&](double q) -> float {
       double pos = (vals.size() - 1) * q / 100.0;
       size_t k = static_cast<size_t>(pos);
       double frac = pos - k;
-      std::nth_element(vals.begin(), vals.begin() + k, vals.end());
+      std::nth_element(vals.begin() + from, vals.begin() + k, vals.end());
       float vk = vals[k];
-      if (frac == 0.0 || k + 1 >= vals.size()) return vk;
-      float vk1 = *std::min_element(vals.begin() + k + 1, vals.end());
-      return static_cast<float>(vk * (1.0 - frac) + vk1 * frac);
+      float r;
+      if (frac == 0.0 || k + 1 >= vals.size()) {
+        r = vk;
+      } else {
+        float vk1 = *std::min_element(vals.begin() + k + 1, vals.end());
+        r = static_cast<float>(vk * (1.0 - frac) + vk1 * frac);
+      }
+      from = k + 1 < vals.size() ? k + 1 : k;  // next quantile partitions the tail only
+      return r;
     };
     lo = percentile(1.0);
     hi = percentile(99.0);
   }
   const float inv = 1.0f / (hi - lo + 1e-6f);
-  // normalized copy kept implicit: normalize on the fly during gather;
-  // the >0 masks below must use the ORIGINAL values (python normalizes
-  // first, but clip keeps positives positive and lo>0 keeps zeros at
-  // (0-lo)*inv... so normalize eagerly to match python exactly.
   auto norm = [&](float v) {
     float c = v < lo ? lo : (v > hi ? hi : v);
     return (c - lo) * inv;
   };
-  for (int64_t i = 0; i < count; ++i) vol[i] = norm(vol[i]);
 
   const int64_t s_z = t1 * t0;  // C stride of z in the buffer
   const int64_t s_y = t0;
+
+  // ONE fused pass: normalize in place (python normalizes before the
+  // nonzero-extent scan, so the masks must use NORMALIZED values) and
+  // mark per-coordinate nonzero flags for all three axes.
+  std::vector<char> nz0(t0, 0), nz1(t1, 0), nz2(t2, 0);
+  for (int64_t z = 0; z < t2; ++z) {
+    char plane_any = 0;
+    for (int64_t y = 0; y < t1; ++y) {
+      float* row = vol.data() + z * s_z + y * s_y;
+      char row_any = 0;
+      for (int64_t x = 0; x < t0; ++x) {
+        float v = norm(row[x]);
+        row[x] = v;
+        if (v > 0.0f) {
+          nz0[x] = 1;
+          row_any = 1;
+        }
+      }
+      if (row_any) { nz1[y] = 1; plane_any = 1; }
+    }
+    if (plane_any) nz2[z] = 1;
+  }
 
   float* dst = out;
   for (int a = 0; a < n_axes; ++a) {
     const int64_t axis = axes[a];
     const int64_t cnt = counts[a];
     const int64_t axis_len = (axis == 0) ? t0 : (axis == 1) ? t1 : t2;
-    // nonzero extent along `axis`
-    std::vector<char> nz(axis_len, 0);
-    for (int64_t z = 0; z < t2; ++z) {
-      for (int64_t y = 0; y < t1; ++y) {
-        const float* row = vol.data() + z * s_z + y * s_y;
-        for (int64_t x = 0; x < t0; ++x) {
-          if (row[x] > 0.0f) {
-            if (axis == 0) nz[x] = 1;
-            else if (axis == 1) nz[y] = 1;
-            else nz[z] = 1;
-          }
-        }
-      }
-    }
+    const std::vector<char>& nz = (axis == 0) ? nz0 : (axis == 1) ? nz1 : nz2;
     int64_t lo_i = 0, hi_i = axis_len - 1;
     bool any = false;
     for (int64_t i = 0; i < axis_len; ++i) {

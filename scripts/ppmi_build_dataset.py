@@ -1,48 +1,38 @@
 #!/usr/bin/env python
-"""Thin CLI over the PPMI study-data builder (reference: scripts/
-ppmi_build_dataset.py:31-51)."""
-import argparse
-import logging
-import sys
-from pathlib import Path
+"""Build the processed PPMI study-data tables.
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+Behavioral spec (reference: scripts/ppmi_build_dataset.py:31-51): load
+the study-data YAML config, apply optional ``--out_dir`` /``--seed``
+overrides (a seed override pins the split-seed list to that one seed),
+run the builder, and log each emitted artifact path.
+"""
+import argparse
+from pathlib import Path
 
 import yaml
 
+from _cli_common import file_logger
 from pd_fusion.data.ppmi_studydata import build_ppmi_datasets
 
 
-def setup_logging(out_dir: Path) -> logging.Logger:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger = logging.getLogger("ppmi_build")
-    logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s")
-        for handler in (logging.StreamHandler(), logging.FileHandler(out_dir / "ppmi_build_dataset.log")):
-            handler.setFormatter(fmt)
-            logger.addHandler(handler)
-    return logger
-
-
 def main() -> None:
-    parser = argparse.ArgumentParser(description="Build PPMI study-data datasets")
-    parser.add_argument("--config", required=True, help="Path to ppmi_studydata.yaml")
-    parser.add_argument("--seed", type=int, default=None, help="Optional seed override")
-    parser.add_argument("--out_dir", default=None, help="Override processed_ppmi_dir")
-    args = parser.parse_args()
+    cli = argparse.ArgumentParser(description="Build PPMI study-data datasets")
+    cli.add_argument("--config", required=True, help="Path to ppmi_studydata.yaml")
+    cli.add_argument("--seed", type=int, default=None, help="Optional seed override")
+    cli.add_argument("--out_dir", default=None, help="Override processed_ppmi_dir")
+    args = cli.parse_args()
 
-    with open(args.config) as f:
-        cfg = yaml.safe_load(f)
+    cfg = yaml.safe_load(Path(args.config).read_text())
     if args.out_dir:
         cfg["processed_ppmi_dir"] = args.out_dir
     if args.seed is not None:
         cfg.setdefault("splits", {})["seeds"] = [args.seed]
 
-    logger = setup_logging(Path(cfg["processed_ppmi_dir"]))
+    logger = file_logger(
+        "ppmi_build", Path(cfg["processed_ppmi_dir"]), "ppmi_build_dataset.log"
+    )
     logger.info("Building PPMI datasets with config: %s", args.config)
-    outputs = build_ppmi_datasets(cfg, logger)
-    for key, path in outputs.items():
+    for key, path in build_ppmi_datasets(cfg, logger).items():
         logger.info("Saved %s -> %s", key, path)
 
 

@@ -1,61 +1,64 @@
 #!/usr/bin/env python
-"""Summarize a ppmi_train_tabular run: groupby mean/std + ROC-AUC ranking
-table (reference: scripts/ppmi_eval_report.py:46-64)."""
-import argparse
-import logging
-import sys
-from pathlib import Path
+"""PPMI tabular sweep report.
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+Behavioral spec (reference: scripts/ppmi_eval_report.py:46-64): read a
+run directory's ``results_all.csv`` (one row per model x ablation x seed
+x fold), optionally filter to one seed, aggregate mean/std per
+(model, ablation) into ``summary_sweep_mean.csv``, and write the same
+table sorted by mean ROC-AUC as ``ranking_table.csv``. Progress lines go
+to stdout and ``ppmi_eval_report.log`` inside the run directory.
+"""
+import argparse
+from pathlib import Path
 
 import pandas as pd
 import yaml
 
+from _cli_common import file_logger
 
-def setup_logging(out_dir: Path) -> logging.Logger:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger = logging.getLogger("ppmi_report")
-    logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s")
-        for handler in (logging.StreamHandler(), logging.FileHandler(out_dir / "ppmi_eval_report.log")):
-            handler.setFormatter(fmt)
-            logger.addHandler(handler)
-    return logger
+GROUP_KEYS = ["model", "ablation"]
+RANK_METRIC = "roc_auc_mean"
+
+
+def build_report(results: pd.DataFrame):
+    """(summary, ranking): per-group mean/std with flattened column names."""
+    agg = results.groupby(GROUP_KEYS).agg(["mean", "std"]).reset_index()
+    flat = []
+    for col in agg.columns:
+        if isinstance(col, tuple):
+            flat.append("_".join(part for part in col if part))
+        else:  # pragma: no cover - plain Index
+            flat.append(col)
+    agg.columns = flat
+    return agg, agg.sort_values(RANK_METRIC, ascending=False)
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description="Generate PPMI tabular report")
-    parser.add_argument("--config", required=True)
-    parser.add_argument("--seed", type=int, default=None)
-    parser.add_argument("--out_dir", required=True, help="Run directory with results_all.csv")
-    args = parser.parse_args()
+    cli = argparse.ArgumentParser(description="Generate PPMI tabular report")
+    cli.add_argument("--config", required=True)
+    cli.add_argument("--seed", type=int, default=None)
+    cli.add_argument("--out_dir", required=True, help="Run directory with results_all.csv")
+    args = cli.parse_args()
 
-    with open(args.config) as f:
-        yaml.safe_load(f)  # validated for parity; report derives from results_all.csv
+    # config is parsed for schema validation only; the report itself is
+    # derived entirely from the run's results_all.csv
+    yaml.safe_load(Path(args.config).read_text())
+
     out_dir = Path(args.out_dir)
-    logger = setup_logging(out_dir)
+    logger = file_logger("ppmi_report", out_dir, "ppmi_eval_report.log")
 
-    results_path = out_dir / "results_all.csv"
-    if not results_path.exists():
-        raise FileNotFoundError(f"Missing {results_path}")
-
-    df = pd.read_csv(results_path)
+    source = out_dir / "results_all.csv"
+    if not source.exists():
+        raise FileNotFoundError(f"Missing {source}")
+    results = pd.read_csv(source)
     if args.seed is not None:
-        df = df[df["seed"] == args.seed]
+        results = results[results["seed"] == args.seed]
 
-    summary = df.groupby(["model", "ablation"]).agg(["mean", "std"]).reset_index()
-    summary.columns = [
-        "_".join([c for c in col if c]) if isinstance(col, tuple) else col
-        for col in summary.columns
-    ]
-    summary.to_csv(out_dir / "summary_sweep_mean.csv", index=False)
-
-    ranking = summary.sort_values("roc_auc_mean", ascending=False)
-    ranking.to_csv(out_dir / "ranking_table.csv", index=False)
-
-    logger.info("Saved summary to %s", out_dir / "summary_sweep_mean.csv")
-    logger.info("Saved ranking to %s", out_dir / "ranking_table.csv")
+    summary, ranking = build_report(results)
+    for frame, fname in ((summary, "summary_sweep_mean.csv"),
+                         (ranking, "ranking_table.csv")):
+        frame.to_csv(out_dir / fname, index=False)
+        logger.info("Saved %s to %s", fname.split("_")[0], out_dir / fname)
 
 
 if __name__ == "__main__":

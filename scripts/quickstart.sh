@@ -1,6 +1,11 @@
-#!/bin/bash
-set -e
-echo "Running Parkinson's Multimodal Fusion Quickstart (Synthetic, TPU)..."
-export PYTHONPATH=$PYTHONPATH:$(pwd)/src
+#!/usr/bin/env bash
+# One-command synthetic quickstart for the TPU rebuild.
+set -euo pipefail
+
+here="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+cd "$here"
+export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}$here/src"
+
+echo "pd_fusion quickstart: synthetic data, full pipeline, TPU backend"
 python3 -m pd_fusion.cli run --config configs/quickstart.yaml --synthetic
-echo "Quickstart complete. Check the 'runs/' directory for outputs."
+echo "Done — artifacts are under runs/."

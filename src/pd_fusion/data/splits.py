@@ -1,10 +1,13 @@
 """Dataset splitting.
 
-Delegates to sklearn on the host so fold assignments are *identical* to the
-reference for the same seed (reference: src/pd_fusion/data/splits.py:12-102
-uses train_test_split / StratifiedKFold / StratifiedGroupKFold with
-shuffle=True and random_state=seed). Fold-assignment parity is a hard
-requirement for metric parity under CV (SURVEY §7 "hard parts").
+Fold-assignment parity with the reference is a hard requirement for
+metric parity under CV (SURVEY §7 "hard parts"), so splitting delegates
+to the same host-side sklearn primitives with the same arguments
+(reference: src/pd_fusion/data/splits.py:12-102 — train_test_split /
+StratifiedKFold / StratifiedGroupKFold, shuffle=True, random_state=seed).
+Only the wrapper layer differs: all K-fold variants funnel through one
+row-slicing generator, and missing StratifiedGroupKFold degrades loudly
+to GroupKFold instead of silently yielding nothing.
 """
 from typing import Dict, Generator, Tuple
 
@@ -15,36 +18,44 @@ from pd_fusion.data.schema import TARGET_COL
 
 try:
     from sklearn.model_selection import StratifiedGroupKFold
+except Exception:  # pragma: no cover - old sklearn
+    StratifiedGroupKFold = None
 
-    _HAS_SGK = True
-except Exception:  # pragma: no cover
-    _HAS_SGK = False
+FrameSplits = Generator[Tuple[pd.DataFrame, pd.DataFrame], None, None]
+
+
+def _iter_row_splits(splitter, df: pd.DataFrame, y=None, groups=None) -> FrameSplits:
+    """Yield (train_df, val_df) row slices for every fold of ``splitter``."""
+    for train_idx, val_idx in splitter.split(df, y, groups):
+        yield df.iloc[train_idx], df.iloc[val_idx]
+
+
+def _group_splitter(n_splits: int, seed: int):
+    """Stratified-group K-fold, or plain GroupKFold on old sklearn."""
+    if StratifiedGroupKFold is not None:
+        return StratifiedGroupKFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    return GroupKFold(n_splits=n_splits)  # pragma: no cover
 
 
 def stratified_split(
     df: pd.DataFrame, test_size: float = 0.2, val_size: float = 0.1, seed: int = 42
 ):
-    """70/10/20 stratified train/val/test split."""
-    train_val_df, test_df = train_test_split(
+    """70/10/20 stratified train/val/test split (two chained holdouts)."""
+    train_val, test = train_test_split(
         df, test_size=test_size, stratify=df[TARGET_COL], random_state=seed
     )
-    rel_val_size = val_size / (1 - test_size)
-    train_df, val_df = train_test_split(
-        train_val_df,
-        test_size=rel_val_size,
-        stratify=train_val_df[TARGET_COL],
+    train, val = train_test_split(
+        train_val,
+        test_size=val_size / (1 - test_size),
+        stratify=train_val[TARGET_COL],
         random_state=seed,
     )
-    return train_df, val_df, test_df
+    return train, val, test
 
 
-def get_kfold_splits(
-    df: pd.DataFrame, n_splits: int = 5, seed: int = 42
-) -> Generator[Tuple[pd.DataFrame, pd.DataFrame], None, None]:
+def get_kfold_splits(df: pd.DataFrame, n_splits: int = 5, seed: int = 42) -> FrameSplits:
     skf = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
-    y = df[TARGET_COL]
-    for train_idx, val_idx in skf.split(df, y):
-        yield df.iloc[train_idx], df.iloc[val_idx]
+    return _iter_row_splits(skf, df, y=df[TARGET_COL])
 
 
 def get_group_kfold_splits(
@@ -52,17 +63,9 @@ def get_group_kfold_splits(
     n_splits: int = 5,
     seed: int = 42,
     group_col: str = "subject_id",
-) -> Generator[Tuple[pd.DataFrame, pd.DataFrame], None, None]:
-    y = df[TARGET_COL]
-    groups = df[group_col]
-    if _HAS_SGK:
-        splitter = StratifiedGroupKFold(n_splits=n_splits, shuffle=True, random_state=seed)
-        for train_idx, val_idx in splitter.split(df, y, groups):
-            yield df.iloc[train_idx], df.iloc[val_idx]
-    else:  # pragma: no cover - old sklearn; don't silently yield zero folds
-        splitter = GroupKFold(n_splits=n_splits)
-        for train_idx, val_idx in splitter.split(df, y, groups):
-            yield df.iloc[train_idx], df.iloc[val_idx]
+) -> FrameSplits:
+    splitter = _group_splitter(n_splits, seed)
+    return _iter_row_splits(splitter, df, y=df[TARGET_COL], groups=df[group_col])
 
 
 def split_train_calibration(
@@ -71,24 +74,16 @@ def split_train_calibration(
     seed: int = 42,
     group_col: str = None,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
-    """Nested train/calibration split, group-aware when group_col given."""
-    if calib_size <= 0 or calib_size >= 1:
+    """Nested train/calibration split, group-aware when ``group_col`` given."""
+    if not 0 < calib_size < 1:
         raise ValueError("calib_size must be between 0 and 1.")
     if group_col and group_col in df.columns:
-        y = df[TARGET_COL]
-        groups = df[group_col]
-        n_splits = max(2, int(round(1.0 / calib_size)))
-        if _HAS_SGK:
-            splitter = StratifiedGroupKFold(n_splits=n_splits, shuffle=True, random_state=seed)
-            train_idx, calib_idx = next(splitter.split(df, y, groups))
-        else:  # pragma: no cover
-            splitter = GroupKFold(n_splits=n_splits)
-            train_idx, calib_idx = next(splitter.split(df, y, groups))
-        return df.iloc[train_idx], df.iloc[calib_idx]
-    train_df, calib_df = train_test_split(
+        # first fold of a group K-fold whose fold count approximates calib_size
+        splitter = _group_splitter(max(2, int(round(1.0 / calib_size))), seed)
+        return next(_iter_row_splits(splitter, df, y=df[TARGET_COL], groups=df[group_col]))
+    return train_test_split(
         df, test_size=calib_size, stratify=df[TARGET_COL], random_state=seed
     )
-    return train_df, calib_df
 
 
 def get_subset_masks(maskdict: Dict, indices: pd.Index) -> Dict:

@@ -73,11 +73,70 @@ def _subject_metrics(df, group_col, y_true, y_prob):
     return compute_metrics(y_true_g, y_prob_g)
 
 
+def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
+    """All scenarios as ONE device program: stacked [S, N, F'] inputs ->
+    vmapped MLP forward -> vmapped metrics reduction. Mirrors the CV
+    engine's [K, S, N] fused evaluation (parallel/cv_engine.py) for the
+    single-split pipeline; the reference loops scenario-by-scenario
+    (evaluate.py:11-169)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.mlp import mlp_apply
+    from pd_fusion.ops.metrics import binary_metrics
+
+    imputer, scaler, feature_cols = prep_info
+    X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
+    mats = []
+    for scenario in scenarios:
+        current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
+        X = apply_masks_to_matrix(X_base, current_masks, feature_cols)
+        mats.append(model.prepare_eval_matrix(X, current_masks))
+    stack = jnp.asarray(np.stack(mats))  # [S, N, F']
+    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
+    w = jnp.ones_like(y)
+
+    @jax.jit
+    def program(net_params, X_s, y_s, w_s):
+        probs = jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(net_params, x)))(X_s)
+        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
+        return probs, md
+
+    probs, md = program(model.net_params, stack, y, w)
+    probs = np.asarray(probs)
+    md = {k: np.asarray(v) for k, v in md.items()}
+
+    results = {}
+    for si, scenario in enumerate(scenarios):
+        metrics = {k: float(v[si]) for k, v in md.items()}
+        if group_col and group_col in df_test.columns:
+            for k, v in _subject_metrics(df_test, group_col, y_true, probs[si]).items():
+                metrics[f"subject_{k}"] = v
+        results[scenario["name"]] = metrics
+    return results
+
+
 def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Dict[str, float]]:
     results = {}
     scenarios = config.get("scenarios", [{"name": "baseline", "drop_modalities": []}])
     group_col = config.get("group_col")
     y_true = df_test[TARGET_COL].values
+
+    # Flat-matrix MLP families fuse every scenario into one device program.
+    # The check is on the model's own CLASS: calibration/conformal wrappers
+    # delegate attribute access to the wrapped model, but their predictions
+    # must flow through the wrapper, so they take the per-scenario path.
+    fuse = (
+        len(scenarios) > 1
+        and not is_mil_prep(prep_info)
+        and not is_moe_prep(prep_info)
+        and hasattr(type(model), "prepare_eval_matrix")
+        and np.unique(y_true).size >= 2
+    )
+    if fuse:
+        return _eval_scenarios_fused(
+            model, df_test, mask_test, prep_info, scenarios, group_col, y_true
+        )
 
     for scenario in scenarios:
         current_masks = apply_missingness_scenario(df_test, scenario, mask_test)

@@ -1,16 +1,24 @@
 """Tabular MRI feature helpers (reference: features/mri.py — unused by the
-reference pipeline; kept for API completeness): keep non-metadata columns
-and normalize volumetrics by intracranial volume when present."""
+reference pipeline; kept for API completeness).
+
+Input columns are assumed canonical (post column-mapper). Drops metadata
+columns and expresses volumetric measures as fractions of intracranial
+volume when an ``icv`` column exists.
+"""
 import pandas as pd
 
-_META_COLS = {"patno", "event_id", "date"}
+_META_COLS = frozenset({"patno", "event_id", "date"})
+_ICV_EPS = 1e-6
 
 
 def get_mri_features(df: pd.DataFrame) -> pd.DataFrame:
-    subset = df[[c for c in df.columns if c not in _META_COLS]].copy()
-    if "icv" in subset.columns:
-        icv = subset["icv"]
-        for col in subset.columns:
-            if col != "icv" and pd.api.types.is_numeric_dtype(subset[col]):
-                subset[col] = subset[col] / (icv + 1e-6)
-    return subset
+    feats = df.drop(columns=[c for c in df.columns if c in _META_COLS]).copy()
+    if "icv" not in feats.columns:
+        return feats
+    denom = feats["icv"] + _ICV_EPS
+    numeric = [
+        c for c in feats.columns
+        if c != "icv" and pd.api.types.is_numeric_dtype(feats[c])
+    ]
+    feats[numeric] = feats[numeric].div(denom, axis=0)
+    return feats

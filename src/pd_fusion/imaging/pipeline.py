@@ -291,7 +291,13 @@ def embed_slices_batch(backbone_params, slices, mean, std, arch: str, input_size
     pooled [B, E]; one fused resize+normalize+ResNet program with a B*L
     slice batch on the MXU. compute_dtype="bfloat16" runs the backbone in
     bf16 (2x MXU throughput; accumulation stays f32 via
-    preferred_element_type) — embeddings are returned in f32."""
+    preferred_element_type) — embeddings are returned in f32.
+
+    ``slices`` may also be a TUPLE of B [L, h, w] arrays: the pipeline
+    ships each subject to the device asynchronously as host prep finishes
+    and stacks on-device here, so relay transfer hides behind prep."""
+    if isinstance(slices, tuple):
+        slices = jnp.stack(slices)
     B, L = slices.shape[:2]
     batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
     if compute_dtype == "bfloat16":
@@ -310,6 +316,8 @@ def embed_slices_batch_augmented(backbone_params, slices, mean, std, angle, tran
                                  per_slice: bool):
     """TTA variant over a subject batch: per-subject affine + intensity +
     noise fused ahead of the ResNet."""
+    if isinstance(slices, tuple):
+        slices = jnp.stack(slices)
     B, L = slices.shape[:2]
     aug = jax.vmap(affine2d_batch)(slices, angle, translate)
     aug = jnp.clip(aug * scale[:, None, None, None] + shift[:, None, None, None] + noise, 0.0, 1.0)
@@ -442,9 +450,10 @@ def run_resnet_embedding_pipeline(
                     emb = e if emb is None else emb + e
                 emb = emb / tta
         else:
-            stack = np.zeros((B, n_slices_total, h_dim, w_dim), np.float32)
-            for j, sl in enumerate(batch_payload):
-                stack[j] = sl
+            # subjects were device_put as the prefetcher yielded them —
+            # pad the tuple to B (repeating the first entry costs no new
+            # transfer) and stack ON DEVICE inside the jitted program
+            stack = tuple(batch_payload) + (batch_payload[0],) * (B - nb)
             if tta <= 1:
                 emb = embed_slices_batch(
                     backbone_params, stack, mean, std, arch, input_size, per_slice,
@@ -469,6 +478,10 @@ def run_resnet_embedding_pipeline(
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
             flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
+        if not raw_mode:
+            # start the host->device transfer NOW (async): it rides the
+            # relay while the prefetch threads prep the next subjects
+            payload = jax.device_put(payload)
         batch_idx.append(i)
         batch_payload.append(payload)
         if len(batch_idx) == B:

@@ -40,6 +40,11 @@ class LateFusionModel(BaseModel):
     def predict_proba(self, X, masks=None):
         return np.asarray(predict_proba_jit(self.net_params, np.asarray(X, np.float32)))
 
+    def prepare_eval_matrix(self, X, masks=None):
+        """Final matrix fed to the MLP for the given availability masks —
+        lets evaluate_model stack all scenarios into ONE device program."""
+        return np.asarray(X, np.float32)
+
     def save(self, path):
         save_pickle(
             {

@@ -20,6 +20,14 @@ class MaskedFusionModel(LateFusionModel):
             X = np.concatenate([np.asarray(X, np.float32), np.asarray(masks, np.float32)], axis=1)
         return super().predict_proba(X)
 
+    def prepare_eval_matrix(self, X, masks=None):
+        if masks is None:
+            return np.asarray(X, np.float32)
+        from pd_fusion.data.missingness import get_modality_mask_matrix
+
+        mm = get_modality_mask_matrix(masks).astype(np.float32)
+        return np.concatenate([np.asarray(X, np.float32), mm], axis=1)
+
     def save(self, path):
         from pd_fusion.utils.io import save_pickle
         import jax

@@ -86,6 +86,20 @@ class ModalityDropoutModel(BaseModel):
             X = X * keep.T
         return np.asarray(predict_proba_jit(self.net_params, X))
 
+    def prepare_eval_matrix(self, X, masks=None):
+        X = np.asarray(X, np.float32)
+        if masks is None:
+            return X
+        mask_mat = np.stack(
+            [
+                np.asarray(masks[m], np.float32) if m in masks else np.ones(len(X), np.float32)
+                for m in self.mod_names
+            ],
+            axis=1,
+        )
+        keep = 1.0 - self.assign @ (1.0 - mask_mat.T)
+        return X * keep.T
+
     def save(self, path):
         save_pickle(
             {

@@ -19,10 +19,12 @@ TPU design:
 - volume loading runs on host prefetch threads between steps; slices are
   cached per subject after the first epoch (the reference re-reads and
   re-zooms every NIfTI every epoch — a large share of its wall-clock).
-- BatchNorm uses batch statistics during training (torch .train()
-  behavior) and the stored running stats at eval; running stats are not
-  updated during fine-tune (documented deviation — with ImageNet stats
-  unavailable in-image the backbone starts from seeded init anyway).
+- BatchNorm uses batch statistics during training and EMA-updates the
+  running stats every step (torch .train() behavior, reference
+  models/mil_attention_finetune.py:147-151); the updated stats are
+  carried in the params pytree and used at eval. Weight decay is masked
+  off the running-stat buffers and gated off the backbone while frozen,
+  matching torch Adam's handling of buffers / requires_grad=False.
 """
 from functools import partial
 from typing import Optional
@@ -34,7 +36,15 @@ import optax
 
 from pd_fusion.models.base import BaseModel
 from pd_fusion.nn.mil import mil_apply, mil_init
-from pd_fusion.nn.resnet import IMAGENET_MEAN, IMAGENET_STD, load_backbone, resnet_apply
+from pd_fusion.nn.resnet import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    bn_buffer_mask,
+    load_backbone,
+    merge_bn_stats,
+    resnet_apply,
+    resnet_apply_train,
+)
 from pd_fusion.ops.image import (
     affine2d_batch,
     percentile_normalize,
@@ -84,7 +94,14 @@ def _ft_step(
         aug = jax.vmap(affine2d_batch)(slices, aug_angle, aug_translate)
         aug = jnp.clip(aug * aug_scale[:, None, None, None] + aug_shift[:, None, None, None] + noise, 0.0, 1.0)
         batch = slices_to_imagenet_batch(aug.reshape(B * L, *aug.shape[2:]), input_size, mean, std)
-        emb = resnet_apply(bp, batch, arch, train=train_bn)
+        if train_bn:
+            # torch .train() semantics: batch-stat normalization AND an EMA
+            # running-stat update every forward (even while the backbone's
+            # weights are gradient-frozen)
+            emb, bp_with_stats = resnet_apply_train(bp, batch, arch)
+        else:
+            emb = resnet_apply(bp, batch, arch, train=False)
+            bp_with_stats = bp
         emb = emb.reshape(B, L, -1)
         logits = mil_apply(
             hp, emb, bag_mask, gated=gated, dropout_rate=head_dropout, dropout_key=dropout_key
@@ -95,16 +112,26 @@ def _ft_step(
             pt = jnp.where(y >= 0.5, p, 1.0 - p)
             focal = (1.0 - pt) ** focal_gamma
             alpha = jnp.where(y >= 0.5, focal_alpha, 1.0 - focal_alpha)
-            return jnp.mean(alpha * focal * bce)
+            return jnp.mean(alpha * focal * bce), bp_with_stats
         w = jnp.where(y >= 0.5, pos_weight, 1.0)
-        return jnp.mean(bce * w)
+        return jnp.mean(bce * w), bp_with_stats
 
-    grads = jax.grad(loss_fn, argnums=(0, 1))(backbone_params, head_params)
+    grads, bp_stats = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        backbone_params, head_params
+    )
     gb = jax.tree_util.tree_map(lambda g: g * backbone_gate, grads[0])
     params = {"backbone": backbone_params, "head": head_params}
-    updates, opt_state = tx_update({"backbone": gb, "head": grads[1]}, opt_state, params)
+    # decay reference: gating the backbone side makes the weight-decay
+    # addend vanish while frozen (torch skips requires_grad=False params
+    # entirely, so a frozen backbone must be bit-frozen)
+    decay_ref = {
+        "backbone": jax.tree_util.tree_map(lambda p_: p_ * backbone_gate, backbone_params),
+        "head": head_params,
+    }
+    updates, opt_state = tx_update({"backbone": gb, "head": grads[1]}, opt_state, decay_ref)
     params = optax.apply_updates(params, updates)
-    return params["backbone"], params["head"], opt_state
+    new_backbone = merge_bn_stats(params["backbone"], bp_stats) if train_bn else params["backbone"]
+    return new_backbone, params["head"], opt_state
 
 
 @partial(jax.jit, static_argnames=("arch", "gated", "input_size"))
@@ -169,7 +196,9 @@ class MilAttentionFineTuneModel(BaseModel):
             chain.append(optax.clip_by_global_norm(float(max_grad_norm)))
         wd = float(p.get("weight_decay", 1e-3))
         if wd > 0:
-            chain.append(optax.add_decayed_weights(wd))
+            # decay parameters only — torch Adam(weight_decay=..) never
+            # touches BN running-stat buffers
+            chain.append(optax.add_decayed_weights(wd, mask=bn_buffer_mask))
         chain.append(
             optax.multi_transform(
                 {

@@ -14,9 +14,10 @@ slice batches through it). Design:
   cache metadata (documented deviation — the reference would have
   downloaded ImageNet weights).
 - BatchNorm: inference mode uses running stats folded to scale/bias;
-  train mode (fine-tune path) uses batch statistics (running stats are
-  not updated — the fine-tune loop always evaluates with train=False
-  semantics of the *initial* running stats; documented).
+  train mode uses batch statistics. The fine-tune path uses
+  ``resnet_apply_train``, which additionally returns EMA-updated running
+  stats (torch ``.train()`` semantics, momentum 0.1, unbiased-var
+  update) that the train step grafts back into the params pytree.
 
 ImageNet preprocessing constants (mean/std) match torchvision's
 weights.meta (reference :215-222).
@@ -176,6 +177,115 @@ def resnet_apply(params, x, arch: str = "resnet18", train: bool = False):
 
 def emb_dim(arch: str) -> int:
     return _CONFIGS[arch]["emb_dim"]
+
+
+# ---------------------------------------------------------------------------
+# train-mode forward with BN running-stat EMA (torch .train() semantics)
+# ---------------------------------------------------------------------------
+
+
+def _bn_train(x, p, momentum):
+    """Batch-stat normalization + EMA running-stat update. Matches torch
+    BatchNorm2d train mode exactly: normalize with biased batch variance,
+    update running_var with the UNBIASED estimate, momentum 0.1 default."""
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    var = jnp.var(x, axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = var * (n / max(n - 1, 1))
+    new_p = dict(
+        p,
+        mean=(1.0 - momentum) * p["mean"] + momentum * mean,
+        var=(1.0 - momentum) * p["var"] + momentum * unbiased,
+    )
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return (x - mean) * inv * p["gamma"] + p["beta"], new_p
+
+
+def _basic_block_train(x, p, stride, momentum):
+    new_p = dict(p)
+    identity = x
+    out = _conv(x, p["conv1"]["w"], stride=stride)
+    out, new_p["bn1"] = _bn_train(out, p["bn1"], momentum)
+    out = jax.nn.relu(out)
+    out = _conv(out, p["conv2"]["w"], stride=1)
+    out, new_p["bn2"] = _bn_train(out, p["bn2"], momentum)
+    if "downsample" in p:
+        identity, ds_bn = _bn_train(
+            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum
+        )
+        new_p["downsample"] = dict(p["downsample"], bn=ds_bn)
+    return jax.nn.relu(out + identity), new_p
+
+
+def _bottleneck_block_train(x, p, stride, momentum):
+    new_p = dict(p)
+    identity = x
+    out, new_p["bn1"] = _bn_train(_conv(x, p["conv1"]["w"], stride=1), p["bn1"], momentum)
+    out = jax.nn.relu(out)
+    out, new_p["bn2"] = _bn_train(_conv(out, p["conv2"]["w"], stride=stride), p["bn2"], momentum)
+    out = jax.nn.relu(out)
+    out, new_p["bn3"] = _bn_train(_conv(out, p["conv3"]["w"], stride=1), p["bn3"], momentum)
+    if "downsample" in p:
+        identity, ds_bn = _bn_train(
+            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum
+        )
+        new_p["downsample"] = dict(p["downsample"], bn=ds_bn)
+    return jax.nn.relu(out + identity), new_p
+
+
+def resnet_apply_train(params, x, arch: str = "resnet18", momentum: float = 0.1):
+    """Train-mode forward returning (embeddings, params-with-updated-BN-
+    running-stats). Mirrors the reference backbone running in torch
+    ``.train()`` mode, where every forward updates running stats
+    (reference: models/mil_attention_finetune.py:147-151 via module
+    train-mode defaults). Blocks are rematerialized as in
+    ``resnet_apply(train=True)``."""
+    cfg = _CONFIGS[arch]
+    block_fn = _basic_block_train if cfg["block"] == "basic" else _bottleneck_block_train
+    block_fn = jax.checkpoint(block_fn, static_argnums=(2, 3))
+
+    new_params = dict(params)
+    out = _conv(x, params["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
+    out, new_params["bn1"] = _bn_train(out, params["bn1"], momentum)
+    out = jax.nn.relu(out)
+    out = jax.lax.reduce_window(
+        out,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for li in range(4):
+        new_blocks = []
+        for bi, block in enumerate(params[f"layer{li + 1}"]):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out, nb = block_fn(out, block, stride, momentum)
+            new_blocks.append(nb)
+        new_params[f"layer{li + 1}"] = new_blocks
+    return jnp.mean(out, axis=(1, 2)), new_params
+
+
+def _is_bn_stat(path) -> bool:
+    last = path[-1]
+    key = getattr(last, "key", None)
+    return key in ("mean", "var")
+
+
+def merge_bn_stats(trained_params, stats_params):
+    """Graft BN running stats from ``stats_params`` onto ``trained_params``
+    (everything else — conv weights, gamma/beta — comes from the trained
+    tree). Used after an optimizer step whose forward produced EMA stats."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, t, s: s if _is_bn_stat(path) else t, trained_params, stats_params
+    )
+
+
+def bn_buffer_mask(params):
+    """Bool pytree marking NON-buffer leaves (True = apply weight decay).
+    torch's Adam(weight_decay=..) decays parameters (incl. BN gamma/beta)
+    but never the running-stat buffers."""
+    return jax.tree_util.tree_map_with_path(lambda path, _: not _is_bn_stat(path), params)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Fused single-run scenario evaluation: one stacked device program must
+produce the SAME metrics as the per-scenario host loop (reference
+evaluate.py semantics), for every flat-matrix MLP family."""
+import numpy as np
+import pytest
+
+from pd_fusion.data.missingness import apply_missingness_scenario
+from pd_fusion.data.ppmi_loader import generate_synthetic_data
+from pd_fusion.data.preprocess import preprocess_features
+from pd_fusion.data.feature_utils import get_all_feature_cols
+from pd_fusion.data.schema import TARGET_COL
+from pd_fusion.evaluation.evaluate import evaluate_model, predict_for_masks
+from pd_fusion.utils.metrics import compute_metrics
+from pd_fusion.utils.seed import set_seed
+
+SCENARIOS = [
+    {"name": "full_observation", "drop_modalities": []},
+    {"name": "drop_mri", "drop_modalities": ["mri"]},
+    {"name": "random_1", "random_drop": 1},
+]
+
+
+def _data():
+    set_seed(3)
+    df, masks = generate_synthetic_data(
+        {
+            "num_samples": 120,
+            "clinical_dim": 6,
+            "datspect_dim": 4,
+            "mri_dim": 8,
+            "missing_rates": [0.1, 0.2, 0.3],
+        }
+    )
+    return df, masks
+
+
+def _loop_results(model, df, masks, prep_info):
+    out = {}
+    y_true = df[TARGET_COL].values
+    for scenario in SCENARIOS:
+        cm = apply_missingness_scenario(df, scenario, masks)
+        out[scenario["name"]] = compute_metrics(
+            y_true, predict_for_masks(model, df, cm, prep_info)
+        )
+    return out
+
+
+@pytest.mark.parametrize("family", ["fusion_late", "fusion_masked", "fusion_moddrop"])
+def test_fused_scenario_eval_matches_loop(family):
+    df, masks = _data()
+    feats = get_all_feature_cols(df)
+    X, _, scaler = preprocess_features(df, feats)
+    y = df[TARGET_COL].values
+    prep_info = (None, scaler, feats)
+    params = {"hidden_dims": [16], "dropout": 0.0, "lr": 0.01, "epochs": 10}
+
+    if family == "fusion_late":
+        from pd_fusion.models.fusion_late import LateFusionModel
+
+        model = LateFusionModel(X.shape[1], params)
+        model.train(X, y)
+    elif family == "fusion_masked":
+        from pd_fusion.data.missingness import get_modality_mask_matrix
+        from pd_fusion.models.fusion_masked import MaskedFusionModel
+
+        mm = get_modality_mask_matrix(masks).astype(np.float32)
+        model = MaskedFusionModel(X.shape[1], mm.shape[1], params)
+        model.train(np.concatenate([X, mm], axis=1), y)
+    else:
+        from pd_fusion.models.fusion_moddrop import ModalityDropoutModel
+
+        mod_dims = {"clinical": 6, "datspect": 4, "mri": 8}
+        model = ModalityDropoutModel(mod_dims, dict(params, moddrop_rate=0.2, batch_size=32))
+        model.train(X, y)
+
+    # the scenario RNG draws must match between the two paths
+    set_seed(11)
+    fused = evaluate_model(model, df, masks, prep_info, {"scenarios": SCENARIOS})
+    set_seed(11)
+    loop = _loop_results(model, df, masks, prep_info)
+
+    assert set(fused) == set(loop)
+    for scen in fused:
+        for metric, v in loop[scen].items():
+            assert fused[scen][metric] == pytest.approx(v, abs=1e-5), (scen, metric)

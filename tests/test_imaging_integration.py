@@ -2,6 +2,7 @@
 builders -> ds001907 loader modes -> MIL fine-tune smoke. Uses tiny shapes
 to keep compiles cheap."""
 import json
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -101,6 +102,83 @@ def test_resnet2d_embeddings_build(synthetic_dataset):
     # meta json records pretrained status
     metas = list((root / "emb").glob("resnet2d_*.json"))
     assert metas and "pretrained" in json.load(open(metas[0]))
+
+
+def test_pretrained_weights_e2e_export_build_embed(synthetic_dataset, tmp_path):
+    """Closes the ported-weights loop (VERDICT r1 item 6): torch state_dict
+    -> scripts/export_backbone_weights.py .npz -> builder weights_path
+    config knob -> cache metadata records pretrained: true -> embeddings
+    match a direct conversion of the same weights."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    from pd_fusion.data.openneuro_features import build_resnet2d_embeddings
+    from pd_fusion.utils.torch_utils import build_torch_resnet18
+
+    root, manifest = synthetic_dataset
+
+    # "pretrained" torch checkpoint (random weights stand in for ImageNet
+    # in this zero-egress image; the export/convert path is identical)
+    torch.manual_seed(7)
+    sd = build_torch_resnet18().state_dict()
+    pth = tmp_path / "resnet18.pth"
+    torch.save(sd, pth)
+
+    npz = tmp_path / "resnet18.npz"
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "export_backbone_weights.py"),
+         "--arch", "resnet18", "--src", str(pth), "--out", str(npz)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-1000:]
+    assert npz.exists()
+
+    cfg = {
+        "backbone": "resnet18",
+        "weights_path": str(npz),
+        "target_shape": (16, 16, 16),
+        "slice_axis": 2,
+        "slice_count": 4,
+        "input_size": 32,
+        "tta": 1,
+    }
+    df = build_resnet2d_embeddings(manifest, root / "emb_pretrained", cfg)
+    assert len(df) == 12
+
+    meta = json.load(open(next((root / "emb_pretrained").glob("resnet2d_*.json"))))
+    assert meta["pretrained"] is True
+
+    # same manifest embedded with the weights converted directly — the
+    # export/reload path must be numerically identical
+    from pd_fusion.nn.resnet import IMAGENET_MEAN, IMAGENET_STD, convert_torch_state_dict
+    from pd_fusion.imaging.pipeline import run_resnet_embedding_pipeline
+
+    params = convert_torch_state_dict(sd, "resnet18")
+    man_df = pd.read_csv(manifest)
+    # pretrained backbones use the ImageNet preprocessing constants
+    # (reference openneuro_features.py:215-222 reads them off weights.meta)
+    direct = run_resnet_embedding_pipeline(
+        [Path(p) for p in man_df["t1wbrain_path"]],
+        man_df["subject_id"].tolist(),
+        params,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        arch="resnet18",
+        target_shape=(16, 16, 16),
+        axes=[2],
+        counts=[4],
+        input_size=32,
+        tta=1,
+        per_slice=False,
+        progress=False,
+    )
+    emb_cols = [c for c in df.columns if c.startswith("mri_resnet_")]
+    np.testing.assert_allclose(
+        df[emb_cols].values, np.stack([np.asarray(e) for e in direct]), atol=1e-4
+    )
 
 
 def test_resnet2d_mil_embeddings_multiaxis(synthetic_dataset):
@@ -204,3 +282,54 @@ def test_mil_finetune_smoke(synthetic_dataset):
     # missing bags -> constant
     p2 = m.predict_proba([bags[0], None], {"mri": np.array([1, 0])})
     assert p2[1] == pytest.approx(m.missing_prob)
+
+
+def test_mil_finetune_bn_stats_and_freeze_semantics(synthetic_dataset):
+    """torch-.train() parity: BN running stats EMA-update every step (even
+    while the backbone is gradient-frozen), and a frozen backbone's
+    weights are bit-identical after the frozen epoch."""
+    import jax
+
+    from pd_fusion.models.mil_attention_finetune import MilAttentionFineTuneModel
+    from pd_fusion.utils.seed import set_seed
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    bags = df["t1wbrain_path"].tolist()
+    y = df["label"].values
+
+    set_seed(0)
+    cfg = {
+        "backbone": "resnet18",
+        "pretrained": False,
+        "target_shape": (16, 16, 16),
+        "slice_axis": 2,
+        "slice_count": 4,
+        "input_size": 32,
+        "batch_size": 4,
+        "epochs": 1,
+        "freeze_backbone_epochs": 1,  # the whole run is frozen
+        "hidden_dim": 32,
+        "attn_dim": 16,
+        "train_aug": False,
+        "weight_decay": 1e-2,  # large so decay leakage would be visible
+    }
+    m = MilAttentionFineTuneModel(cfg)
+    before = jax.tree_util.tree_map(np.array, m.backbone_params)
+    m.train(bags, y)
+    after = m.backbone_params
+
+    def leaves_with_paths(tree):
+        return jax.tree_util.tree_flatten_with_path(tree)[0]
+
+    stat_moved, weight_frozen = 0, True
+    for (path, b), (_, a) in zip(leaves_with_paths(before), leaves_with_paths(after)):
+        key = getattr(path[-1], "key", None)
+        if key in ("mean", "var"):
+            if not np.allclose(b, np.asarray(a)):
+                stat_moved += 1
+        else:
+            if not np.array_equal(b, np.asarray(a)):
+                weight_frozen = False
+    assert stat_moved > 0, "BN running stats never updated during fine-tune"
+    assert weight_frozen, "frozen backbone weights changed (decay leaked through the gate)"

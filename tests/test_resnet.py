@@ -7,49 +7,11 @@ import torch
 import torch.nn as nn
 
 from pd_fusion.nn.resnet import convert_torch_state_dict, emb_dim, init_resnet, resnet_apply
+from pd_fusion.utils.torch_utils import build_torch_resnet18
 
-
-class _BasicBlock(nn.Module):
-    def __init__(self, cin, cout, stride=1):
-        super().__init__()
-        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(cout)
-        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = nn.Sequential(
-                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
-            )
-
-    def forward(self, x):
-        idt = x
-        out = torch.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            idt = self.downsample(x)
-        return torch.relu(out + idt)
-
-
-class _TorchResNet18(nn.Module):
-    """torchvision-resnet18-shaped module with matching state_dict names."""
-
-    def __init__(self):
-        super().__init__()
-        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
-        self.maxpool = nn.MaxPool2d(3, 2, 1)
-        self.layer1 = nn.Sequential(_BasicBlock(64, 64), _BasicBlock(64, 64))
-        self.layer2 = nn.Sequential(_BasicBlock(64, 128, 2), _BasicBlock(128, 128))
-        self.layer3 = nn.Sequential(_BasicBlock(128, 256, 2), _BasicBlock(256, 256))
-        self.layer4 = nn.Sequential(_BasicBlock(256, 512, 2), _BasicBlock(512, 512))
-        self.avgpool = nn.AdaptiveAvgPool2d(1)
-
-    def forward(self, x):
-        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
-        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
-            x = layer(x)
-        return self.avgpool(x).flatten(1)
+# shared with test_embed_parity; the oracle module itself lives in
+# pd_fusion.utils.torch_utils so the reference-baseline script can use it
+_TorchResNet18 = build_torch_resnet18
 
 
 def test_resnet18_matches_torch_oracle():
