@@ -116,25 +116,76 @@ def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group
     return results
 
 
+def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
+    """MoE twin of ``_eval_scenarios_fused``: [S, M, N, Fmax] stacked
+    per-modality inputs + [S, N, M] masks -> one vmapped stacked-expert
+    forward + metrics program."""
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.moe import moe_apply
+    from pd_fusion.ops.metrics import binary_metrics
+
+    mods_used = list(prep_info.keys())
+    base = {}
+    for mod in mods_used:
+        imputer, scaler, feats = prep_info[mod]
+        base[mod], _, _ = preprocess_features(df_test, feats, imputer, scaler)
+
+    xs, mms = [], []
+    for scenario in scenarios:
+        cm = apply_missingness_scenario(df_test, scenario, mask_test)
+        X_dict = {
+            mod: (base[mod] * np.asarray(cm[mod]).reshape(-1, 1) if mod in cm else base[mod])
+            for mod in mods_used
+        }
+        xs.append(model._stack_inputs(X_dict))
+        mms.append(np.stack([cm[m] for m in mods_used], axis=1).astype(np.float32))
+    x_s = jnp.asarray(np.stack(xs))  # [S, M, N, Fmax]
+    m_s = jnp.asarray(np.stack(mms))  # [S, N, M]
+    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
+    w = jnp.ones_like(y)
+
+    @jax.jit
+    def program(net_params, x, m, y_s, w_s):
+        probs = jax.vmap(lambda xx, mm: moe_apply(net_params, xx, mm))(x, m)
+        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
+        return probs, md
+
+    probs, md = program(model.net_params, x_s, m_s, y, w)
+    probs = np.asarray(probs)
+    md = {k: np.asarray(v) for k, v in md.items()}
+
+    results = {}
+    for si, scenario in enumerate(scenarios):
+        metrics = {k: float(v[si]) for k, v in md.items()}
+        if group_col and group_col in df_test.columns:
+            for k, v in _subject_metrics(df_test, group_col, y_true, probs[si]).items():
+                metrics[f"subject_{k}"] = v
+        results[scenario["name"]] = metrics
+    return results
+
+
 def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Dict[str, float]]:
     results = {}
     scenarios = config.get("scenarios", [{"name": "baseline", "drop_modalities": []}])
     group_col = config.get("group_col")
     y_true = df_test[TARGET_COL].values
 
-    # Flat-matrix MLP families fuse every scenario into one device program.
-    # The check is on the model's own CLASS: calibration/conformal wrappers
-    # delegate attribute access to the wrapped model, but their predictions
-    # must flow through the wrapper, so they take the per-scenario path.
-    fuse = (
-        len(scenarios) > 1
-        and not is_mil_prep(prep_info)
-        and not is_moe_prep(prep_info)
-        and hasattr(type(model), "prepare_eval_matrix")
-        and np.unique(y_true).size >= 2
-    )
-    if fuse:
+    # Flat-matrix MLP families and MoE fuse every scenario into one device
+    # program. The check is on the model's own CLASS: calibration/conformal
+    # wrappers delegate attribute access to the wrapped model, but their
+    # predictions must flow through the wrapper, so they take the
+    # per-scenario path.
+    multi = len(scenarios) > 1 and np.unique(y_true).size >= 2
+    if multi and not is_mil_prep(prep_info) and not is_moe_prep(prep_info) and hasattr(
+        type(model), "prepare_eval_matrix"
+    ):
         return _eval_scenarios_fused(
+            model, df_test, mask_test, prep_info, scenarios, group_col, y_true
+        )
+    if multi and is_moe_prep(prep_info) and hasattr(type(model), "_stack_inputs"):
+        return _eval_scenarios_fused_moe(
             model, df_test, mask_test, prep_info, scenarios, group_col, y_true
         )
 

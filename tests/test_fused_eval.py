@@ -45,6 +45,38 @@ def _loop_results(model, df, masks, prep_info):
     return out
 
 
+def test_fused_moe_scenario_eval_matches_loop():
+    from pd_fusion.data.feature_utils import get_modality_feature_cols
+    from pd_fusion.models.moe import MoEModel
+
+    df, masks = _data()
+    mod_dims = {"clinical": 6, "datspect": 4, "mri": 8}
+    prep_info, X_dict = {}, {}
+    for mod in mod_dims:
+        feats = get_modality_feature_cols(df, mod)
+        X, _, scaler = preprocess_features(df, feats)
+        prep_info[mod] = (None, scaler, feats)
+        X_dict[mod] = X
+    y = df[TARGET_COL].values
+    mask_mat = np.stack([masks[m] for m in mod_dims], axis=1).astype(np.float32)
+
+    model = MoEModel(
+        mod_dims,
+        {"expert_hidden_dims": [8], "router_hidden_dims": [4], "lr": 0.01, "epochs": 10},
+    )
+    model.train(X_dict, y, mask_mat)
+
+    set_seed(11)
+    fused = evaluate_model(model, df, masks, prep_info, {"scenarios": SCENARIOS})
+    set_seed(11)
+    loop = _loop_results(model, df, masks, prep_info)
+
+    assert set(fused) == set(loop)
+    for scen in fused:
+        for metric, v in loop[scen].items():
+            assert fused[scen][metric] == pytest.approx(v, abs=1e-5), (scen, metric)
+
+
 @pytest.mark.parametrize("family", ["fusion_late", "fusion_masked", "fusion_moddrop"])
 def test_fused_scenario_eval_matches_loop(family):
     df, masks = _data()
