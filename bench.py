@@ -270,6 +270,15 @@ def main():
     )
     stages = measure_embed_stages(paths, params, mean, std)
 
+    # CV-leg analytic FLOPs (Adam fwd+bwd ~= 3x fwd on the MLP matmuls):
+    # transparency figure, not an optimization target — these are tiny
+    # latency-bound matmuls and the wall includes host ETL + relay sync.
+    dims = [35, 64, 32, 1]
+    mlp_fwd = 2.0 * sum(a * b for a, b in zip(dims, dims[1:]))
+    n_train = N_SUBJECTS * (K_FOLDS - 1) / K_FOLDS
+    cv_flops = 3.0 * mlp_fwd * n_train * 50 * K_FOLDS  # epochs=50, all folds
+    cv_gflops = cv_flops / max(cv_wall, 1e-9) / 1e9
+
     cv_subjects = N_SUBJECTS * K_FOLDS
     ours_rate = (cv_subjects + N_EMBED) / (cv_wall + embed_wall)
     ref_rate = (cv_subjects + N_EMBED) / (REF_CV_WALL_S + N_EMBED / REF_EMBED_RATE)
@@ -283,6 +292,7 @@ def main():
         "embed_subj_per_sec": round(N_EMBED / embed_wall, 2),
         "embed_speedup": round((N_EMBED / embed_wall) / REF_EMBED_RATE, 2),
         "roc_auc_full_observation": round(agg["full_observation"]["roc_auc"]["mean"], 4),
+        "cv_train_gflops_per_s": round(cv_gflops, 2),
         **scale,
         **{f"embed_{k}" if not k.startswith("embed") else k: v for k, v in stages.items()},
     }
