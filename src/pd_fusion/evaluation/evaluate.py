@@ -83,7 +83,11 @@ def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group
     import jax.numpy as jnp
 
     from pd_fusion.nn.mlp import mlp_apply
-    from pd_fusion.ops.metrics import binary_metrics
+    from pd_fusion.ops.metrics import (
+        binary_metrics,
+        pack_metrics_and_probs,
+        unpack_metrics_and_probs,
+    )
 
     imputer, scaler, feature_cols = prep_info
     X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
@@ -100,11 +104,10 @@ def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group
     def program(net_params, X_s, y_s, w_s):
         probs = jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(net_params, x)))(X_s)
         md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
-        return probs, md
+        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
 
-    probs, md = program(model.net_params, stack, y, w)
-    probs = np.asarray(probs)
-    md = {k: np.asarray(v) for k, v in md.items()}
+    packed = np.asarray(program(model.net_params, stack, y, w))
+    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
 
     results = {}
     for si, scenario in enumerate(scenarios):
@@ -124,7 +127,11 @@ def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, g
     import jax.numpy as jnp
 
     from pd_fusion.nn.moe import moe_apply
-    from pd_fusion.ops.metrics import binary_metrics
+    from pd_fusion.ops.metrics import (
+        binary_metrics,
+        pack_metrics_and_probs,
+        unpack_metrics_and_probs,
+    )
 
     mods_used = list(prep_info.keys())
     base = {}
@@ -150,11 +157,10 @@ def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, g
     def program(net_params, x, m, y_s, w_s):
         probs = jax.vmap(lambda xx, mm: moe_apply(net_params, xx, mm))(x, m)
         md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
-        return probs, md
+        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
 
-    probs, md = program(model.net_params, x_s, m_s, y, w)
-    probs = np.asarray(probs)
-    md = {k: np.asarray(v) for k, v in md.items()}
+    packed = np.asarray(program(model.net_params, x_s, m_s, y, w))
+    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
 
     results = {}
     for si, scenario in enumerate(scenarios):

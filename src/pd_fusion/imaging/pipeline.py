@@ -239,6 +239,13 @@ def embed_volume_augmented(
 SUBJECTS_PER_CALL = 4  # device batch: amortizes dispatch + transfer latency
 
 
+@jax.jit
+def _concat_rows(chunks):
+    """Stitch per-flush embedding blocks into one array on device so the
+    pipeline's final readback is a single transfer."""
+    return jnp.concatenate(chunks, axis=0)
+
+
 @partial(
     jax.jit,
     static_argnames=("arch", "target_shape", "axes", "counts", "input_size", "per_slice"),
@@ -389,7 +396,11 @@ def run_resnet_embedding_pipeline(
 
     n = len(paths)
     B = min(SUBJECTS_PER_CALL, max(n, 1))
-    results: List[Optional[jax.Array]] = [None] * n
+    # per-flush device outputs, fetched in ONE readback at the end (each
+    # individual device->host fetch costs ~50-150 ms through the relay;
+    # 16 subjects fetched one-by-one used to burn ~0.75 s of pure RTT)
+    flush_embs: List[jax.Array] = []
+    flush_idx: List[List[int]] = []
 
     def tta_params(batch_idx, nb):
         # Stable per-subject seed. The reference seeds with builtin
@@ -469,8 +480,8 @@ def run_resnet_embedding_pipeline(
                     )
                     emb = e if emb is None else emb + e
                 emb = emb / tta
-        for j, i in enumerate(batch_idx):
-            results[i] = emb[j]
+        flush_embs.append(emb)
+        flush_idx.append(list(batch_idx))
 
     batch_idx, batch_payload = [], []
     for i, payload in it:
@@ -489,4 +500,13 @@ def run_resnet_embedding_pipeline(
             batch_idx, batch_payload = [], []
     if batch_idx:
         flush(batch_idx, batch_payload)
-    return [np.asarray(r) for r in results]
+
+    # single device-side concat + ONE host fetch for every embedding
+    results: List[Optional[np.ndarray]] = [None] * n
+    all_emb = np.asarray(
+        _concat_rows(tuple(flush_embs)) if len(flush_embs) > 1 else flush_embs[0]
+    )
+    for f, idxs in enumerate(flush_idx):
+        for j, i in enumerate(idxs):
+            results[i] = all_emb[f * B + j]
+    return results

@@ -159,6 +159,11 @@ def expected_calibration_error(
     return jnp.sum(per_bin)
 
 
+# canonical metric order for packed single-transfer layouts (must match
+# the binary_metrics dict below)
+METRIC_NAMES = ("roc_auc", "pr_auc", "balanced_accuracy", "f1", "brier_score", "ece")
+
+
 @partial(jax.jit, static_argnames=("threshold",))
 def binary_metrics(
     y_true: Array,
@@ -175,6 +180,32 @@ def binary_metrics(
         "brier_score": brier_score(y_true, y_prob, weights),
         "ece": expected_calibration_error(y_true, y_prob, weights),
     }
+
+
+def pack_metrics_and_probs(md: Dict[str, Array], probs: Array) -> Array:
+    """Flatten a {metric: [...]} dict (METRIC_NAMES order) plus the probs
+    tensor into ONE 1-D f32 buffer, so jitted eval programs return a
+    single device array — one host fetch instead of len(md)+1 round trips
+    (each device->host readback costs ~140 ms through the axon relay)."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [jnp.stack([md[k] for k in METRIC_NAMES]).reshape(-1).astype(jnp.float32),
+         probs.reshape(-1).astype(jnp.float32)]
+    )
+
+
+def unpack_metrics_and_probs(packed, metric_shape, probs_shape):
+    """Host-side inverse of pack_metrics_and_probs (packed is a numpy
+    array after the single fetch)."""
+    import numpy as np
+
+    n_per = int(np.prod(metric_shape))
+    md = {
+        k: packed[i * n_per:(i + 1) * n_per].reshape(metric_shape)
+        for i, k in enumerate(METRIC_NAMES)
+    }
+    return md, packed[len(METRIC_NAMES) * n_per:].reshape(probs_shape)
 
 
 # vmapped variant over a leading stack axis (folds / scenarios / bootstrap

@@ -74,19 +74,12 @@ def _pad_stack(arrays: List[np.ndarray], pad_value=0.0) -> Tuple[np.ndarray, np.
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
-def _train_folds_fullbatch(params_stack, X, y, w, keys, lr, epochs, dropout, weight_decay):
+def _fullbatch_vmapped(params_stack, X, y, w, keys, lr, epochs, dropout, weight_decay):
     f = lambda p, x, yy, ww, k: fullbatch_impl(p, x, yy, ww, k, lr, epochs, dropout, weight_decay)
     return jax.vmap(f)(params_stack, X, y, w, keys)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
-    ),
-)
-def _train_folds_moddrop(
+def _moddrop_vmapped(
     params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout, weight_decay,
     moddrop_rate, per_sample=False,
 ):
@@ -97,8 +90,19 @@ def _train_folds_moddrop(
     return jax.vmap(f)(params_stack, X, y, w, keys)
 
 
-@partial(jax.jit, static_argnames=("epochs", "weight_decay"))
-def _train_folds_moe(params_stack, x_stack, mask, y, w, lr, epochs, weight_decay):
+_train_folds_fullbatch = partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))(
+    _fullbatch_vmapped
+)
+
+_train_folds_moddrop = partial(
+    jax.jit,
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
+)(_moddrop_vmapped)
+
+
+def _moe_vmapped(params_stack, x_stack, mask, y, w, lr, epochs, weight_decay):
     import optax
 
     tx = (
@@ -127,6 +131,21 @@ def _train_folds_moe(params_stack, x_stack, mask, y, w, lr, epochs, weight_decay
     return jax.vmap(train_one)(params_stack, x_stack, mask, y, w)
 
 
+_train_folds_moe = partial(jax.jit, static_argnames=("epochs", "weight_decay"))(_moe_vmapped)
+
+
+@partial(jax.jit, static_argnames=("epochs", "weight_decay"))
+def _cv_program_moe(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va, y_va, w_va,
+                    lr, epochs, weight_decay):
+    """Whole MoE CV as one dispatch/fetch (see _cv_program_fullbatch)."""
+    trained = _moe_vmapped(params_stack, x_tr, m_tr, y_tr, w_tr, lr, epochs, weight_decay)
+    probs = jax.vmap(
+        lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms)
+    )(trained, x_va, m_va)
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y_va, probs, w_va)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
 @jax.jit
 def _predict_folds_mlp(params_stack, X):
     return jax.vmap(lambda p, x: jax.nn.sigmoid(mlp_apply(p, x)))(params_stack, X)
@@ -145,6 +164,62 @@ def _metrics_folds_scenarios(y, p, w):
     """y, p, w: [K, S, N] -> dict of [K, S] metric arrays, one fused program."""
     f = lambda yy, pp, ww: dev_metrics.binary_metrics(yy, pp, ww)
     return jax.vmap(jax.vmap(f))(y, p, w)
+
+
+@jax.jit
+def _eval_folds_scenarios_packed_mlp(params_stack, X_scen, y, w):
+    """predict + all metrics + pack into ONE buffer: a single device
+    program whose single output array is fetched with one relay round
+    trip (fetching the 6 metric arrays + probs separately costs ~1 s of
+    pure readback latency at ~140 ms/fetch)."""
+    probs = jax.vmap(
+        lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
+    )(params_stack, X_scen)
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y, probs, w)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+@jax.jit
+def _eval_folds_scenarios_packed_moe(params_stack, x_va, m_va, y, w):
+    probs = jax.vmap(
+        lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms)
+    )(params_stack, x_va, m_va)
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y, probs, w)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+def _packed_mlp_eval(trained, Xs, yv, wv):
+    probs = jax.vmap(
+        lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
+    )(trained, Xs)
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(yv, probs, wv)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+# Whole-CV single programs: train ALL folds + evaluate ALL folds x
+# scenarios + pack, in ONE dispatch with ONE result fetch. On the relay,
+# each extra dispatch/fetch pair costs ~100-150 ms of pure latency; at
+# N=500 that latency is comparable to the entire device compute.
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def _cv_program_fullbatch(params_stack, X, y, w, keys, Xs, yv, wv, lr, epochs,
+                          dropout, weight_decay):
+    trained = _fullbatch_vmapped(params_stack, X, y, w, keys, lr, epochs, dropout, weight_decay)
+    return _packed_mlp_eval(trained, Xs, yv, wv)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
+)
+def _cv_program_moddrop(params_stack, X, y, w, assign, keys, Xs, yv, wv, lr, epochs,
+                        batch_size, dropout, weight_decay, moddrop_rate, per_sample):
+    trained = _moddrop_vmapped(
+        params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout,
+        weight_decay, moddrop_rate, per_sample,
+    )
+    return _packed_mlp_eval(trained, Xs, yv, wv)
 
 
 # ---------------------------------------------------------------------------
@@ -325,33 +400,8 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         )
         logger.info(f"parallel CV sharded over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
-    if model_type == "fusion_moddrop":
-        # assignment matrix over the sorted-name block layout
-        from pd_fusion.models.fusion_moddrop import _assignment_matrix
-
-        assign_md, _ = _assignment_matrix(mod_dims)
-        batch_size = int(params_cfg.get("batch_size", 32))
-        trained = _train_folds_moddrop(
-            params_stack,
-            X_stack,
-            y_stack,
-            w_tr,
-            jnp.asarray(assign_md),
-            keys,
-            lr,
-            epochs,
-            min(batch_size, X_stack.shape[1]),
-            dropout,
-            wd,
-            float(params_cfg.get("moddrop_rate", 0.2)),
-            bool(params_cfg.get("moddrop_per_sample", False)),
-        )
-    else:
-        trained = _train_folds_fullbatch(
-            params_stack, X_stack, y_stack, w_tr, keys, lr, epochs, dropout, wd
-        )
-
-    # ---- stacked scenario evaluation --------------------------------------
+    # ---- stacked scenario-eval inputs (built before the train dispatch so
+    # the single-device path can run train+eval as ONE program) ------------
     # per-fold arrays are [S, Nv_i, F]; pad the fold-varying Nv axis
     nv_max = max(a.shape[1] for a in Xva_scen_list)
     S_dim, F_dim = Xva_scen_list[0].shape[0], Xva_scen_list[0].shape[2]
@@ -364,10 +414,60 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
     yv_rep = np.repeat(yv_stack[:, None, :], S, axis=1)
     wv_rep = np.repeat(wv[:, None, :], S, axis=1)
 
-    probs = _predict_folds_scenarios_mlp(trained, Xs_stack)  # [K, S, Nv]
-    md = _metrics_folds_scenarios(jnp.asarray(yv_rep), probs, jnp.asarray(wv_rep))
-    md = {k: np.asarray(v) for k, v in md.items()}
-    probs = np.asarray(probs)
+    is_moddrop = model_type == "fusion_moddrop"
+    if is_moddrop:
+        # assignment matrix over the sorted-name block layout
+        from pd_fusion.models.fusion_moddrop import _assignment_matrix
+
+        assign_md, _ = _assignment_matrix(mod_dims)
+        md_args = (
+            jnp.asarray(assign_md),
+            keys,
+        )
+        md_hp = (
+            lr,
+            epochs,
+            min(int(params_cfg.get("batch_size", 32)), X_stack.shape[1]),
+            dropout,
+            wd,
+            float(params_cfg.get("moddrop_rate", 0.2)),
+            bool(params_cfg.get("moddrop_per_sample", False)),
+        )
+
+    if mesh is None:
+        # ONE dispatch + ONE fetch: train all folds, evaluate all folds x
+        # scenarios, pack metrics + probs into a single result buffer
+        eval_args = (jnp.asarray(Xs_stack), jnp.asarray(yv_rep), jnp.asarray(wv_rep))
+        if is_moddrop:
+            packed = np.asarray(
+                _cv_program_moddrop(
+                    params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1],
+                    *eval_args, *md_hp,
+                )
+            )
+        else:
+            packed = np.asarray(
+                _cv_program_fullbatch(
+                    params_stack, X_stack, y_stack, w_tr, keys, *eval_args,
+                    lr, epochs, dropout, wd,
+                )
+            )
+    else:
+        # sharded path: training runs on the mesh; eval follows unsharded
+        if is_moddrop:
+            trained = _train_folds_moddrop(
+                params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1], *md_hp
+            )
+        else:
+            trained = _train_folds_fullbatch(
+                params_stack, X_stack, y_stack, w_tr, keys, lr, epochs, dropout, wd
+            )
+        packed = np.asarray(
+            _eval_folds_scenarios_packed_mlp(
+                trained, jnp.asarray(Xs_stack), jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+            )
+        )
+    md, probs = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, nv_max))
 
     metrics_all, fold_preds = [], []
     full_obs_idx = next(
@@ -453,23 +553,23 @@ def _run_parallel_cv_moe(
     ]
     params_stack = _stack_params(param_list)
 
-    trained = _train_folds_moe(
-        params_stack,
-        jnp.asarray(x_tr),
-        jnp.asarray(m_tr),
-        jnp.asarray(y_tr),
-        jnp.asarray(w_tr),
-        float(params_cfg["lr"]),
-        int(params_cfg["epochs"]),
-        float(params_cfg.get("weight_decay", 0.0)),
-    )
-
-    probs = jax.jit(
-        jax.vmap(lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms))
-    )(trained, jnp.asarray(x_va), jnp.asarray(m_va))
-    md = _metrics_folds_scenarios(jnp.asarray(y_va), probs, jnp.asarray(w_va))
-    md = {k: np.asarray(v) for k, v in md.items()}
-    probs = np.asarray(probs)
+    packed = np.asarray(
+        _cv_program_moe(
+            params_stack,
+            jnp.asarray(x_tr),
+            jnp.asarray(m_tr),
+            jnp.asarray(y_tr),
+            jnp.asarray(w_tr),
+            jnp.asarray(x_va),
+            jnp.asarray(m_va),
+            jnp.asarray(y_va),
+            jnp.asarray(w_va),
+            float(params_cfg["lr"]),
+            int(params_cfg["epochs"]),
+            float(params_cfg.get("weight_decay", 0.0)),
+        )
+    )  # ONE dispatch + ONE fetch for the whole MoE CV
+    md, probs = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, n_va_max))
 
     metrics_all, fold_preds = [], []
     full_obs_idx = next(
