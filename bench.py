@@ -237,8 +237,9 @@ def main():
     run_cv_once("warmup")
     cv_wall, agg = run_cv_once("measure")
     cv_wall2, _ = run_cv_once("measure2")
-    cv_wall = min(cv_wall, cv_wall2)
-    for tag in ("warmup", "measure", "measure2"):
+    cv_wall3, _ = run_cv_once("measure3")
+    cv_wall = min(cv_wall, cv_wall2, cv_wall3)
+    for tag in ("warmup", "measure", "measure2", "measure3"):
         shutil.rmtree(RUNS_DIR / f"bench_{tag}", ignore_errors=True)
 
     # --- scaled CV leg (N=5000, K=10) ---
