@@ -17,6 +17,8 @@
 #include <vector>
 #include <thread>
 #include <algorithm>
+#include <limits>
+#include <mutex>
 #include <zlib.h>
 #ifdef PD_HAVE_LIBDEFLATE
 #include <libdeflate.h>
@@ -198,6 +200,120 @@ inline int32_t rd_i32(const uint8_t* p, bool swap) {
   return v;
 }
 
+// Align-corners trilinear resize core. With TRACK_MAX, also accumulates
+// the per-coordinate maximum of the RESIZED values along each output
+// axis (max_a[o0], max_b[o1], max_c[o2]; caller zero/lowest-initialises)
+// — one fused pass replaces a separate maxima sweep in the prep path.
+template <bool TRACK_MAX>
+void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
+                   float* out, int64_t o0, int64_t o1, int64_t o2,
+                   int n_threads, float* max_a, float* max_b, float* max_c) {
+  auto axis_coords = [](int64_t in_len, int64_t out_len, std::vector<int64_t>& lo,
+                        std::vector<float>& t) {
+    lo.resize(out_len);
+    t.resize(out_len);
+    for (int64_t j = 0; j < out_len; ++j) {
+      if (in_len == 1 || out_len == 1) {
+        float pos = (out_len == 1) ? 0.0f
+                                   : static_cast<float>(j) * (in_len - 1) / (out_len - 1);
+        int64_t l = static_cast<int64_t>(pos);
+        if (l > in_len - 2) l = std::max<int64_t>(in_len - 2, 0);
+        lo[j] = l;
+        t[j] = (in_len == 1) ? 0.0f : pos - l;
+      } else {
+        float pos = static_cast<float>(j) * (in_len - 1) / (out_len - 1);
+        int64_t l = static_cast<int64_t>(pos);
+        if (l > in_len - 2) l = in_len - 2;
+        lo[j] = l;
+        t[j] = pos - l;
+      }
+    }
+  };
+
+  std::vector<int64_t> l0, l1, l2;
+  std::vector<float> t0, t1, t2;
+  axis_coords(i0, o0, l0, t0);
+  axis_coords(i1, o1, l1, t1);
+  axis_coords(i2, o2, l2, t2);
+
+  const int64_t in_s0 = i1 * i2, in_s1 = i2;
+  const int64_t out_s0 = o1 * o2, out_s1 = o2;
+
+  std::mutex merge_mu;
+  auto work = [&](int64_t z_begin, int64_t z_end) {
+    // thread-local maxima merged under a lock after the sweep
+    const float NEG_INF = -std::numeric_limits<float>::infinity();
+    std::vector<float> lmax_b, lmax_c;
+    if (TRACK_MAX) {
+      lmax_b.assign(o1, NEG_INF);
+      lmax_c.assign(o2, NEG_INF);
+    }
+    for (int64_t a = z_begin; a < z_end; ++a) {
+      const int64_t a0 = l0[a];
+      const float ta = t0[a];
+      const int64_t a1 = (i0 > 1) ? a0 + 1 : a0;
+      float amax = NEG_INF;
+      for (int64_t b = 0; b < o1; ++b) {
+        const int64_t b0 = l1[b];
+        const float tb = t1[b];
+        const int64_t b1 = (i1 > 1) ? b0 + 1 : b0;
+        float* dst = out + a * out_s0 + b * out_s1;
+        const float* p00 = in + a0 * in_s0 + b0 * in_s1;
+        const float* p01 = in + a0 * in_s0 + b1 * in_s1;
+        const float* p10 = in + a1 * in_s0 + b0 * in_s1;
+        const float* p11 = in + a1 * in_s0 + b1 * in_s1;
+        float bmax = NEG_INF;
+        float* lc = TRACK_MAX ? lmax_c.data() : nullptr;
+        for (int64_t c = 0; c < o2; ++c) {
+          const int64_t c0 = l2[c];
+          const float tc = t2[c];
+          const int64_t c1 = (i2 > 1) ? c0 + 1 : c0;
+          const float v00 = p00[c0] * (1 - tc) + p00[c1] * tc;
+          const float v01 = p01[c0] * (1 - tc) + p01[c1] * tc;
+          const float v10 = p10[c0] * (1 - tc) + p10[c1] * tc;
+          const float v11 = p11[c0] * (1 - tc) + p11[c1] * tc;
+          const float v0 = v00 * (1 - tb) + v01 * tb;
+          const float v1 = v10 * (1 - tb) + v11 * tb;
+          const float v = v0 * (1 - ta) + v1 * ta;
+          dst[c] = v;
+          if (TRACK_MAX) {
+            lc[c] = lc[c] > v ? lc[c] : v;
+            bmax = bmax > v ? bmax : v;
+          }
+        }
+        if (TRACK_MAX) {
+          lmax_b[b] = lmax_b[b] > bmax ? lmax_b[b] : bmax;
+          amax = amax > bmax ? amax : bmax;
+        }
+      }
+      if (TRACK_MAX) max_a[a] = amax;  // `a` ranges are disjoint per thread
+    }
+    if (TRACK_MAX) {
+      std::lock_guard<std::mutex> g(merge_mu);
+      for (int64_t b = 0; b < o1; ++b)
+        max_b[b] = max_b[b] > lmax_b[b] ? max_b[b] : lmax_b[b];
+      for (int64_t c = 0; c < o2; ++c)
+        max_c[c] = max_c[c] > lmax_c[c] ? max_c[c] : lmax_c[c];
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : 1;
+  nt = std::min<int64_t>(nt, o0);
+  if (nt <= 1) {
+    work(0, o0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (o0 + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t begin = t * chunk;
+    int64_t end = std::min<int64_t>(begin + chunk, o0);
+    if (begin >= end) break;
+    threads.emplace_back(work, begin, end);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -305,82 +421,8 @@ int pd_read_nifti(const char* path, int64_t* dims, float* out) {
 void pd_resize3d(const float* in, int64_t i0, int64_t i1, int64_t i2,
                  float* out, int64_t o0, int64_t o1, int64_t o2,
                  int n_threads) {
-  auto axis_coords = [](int64_t in_len, int64_t out_len, std::vector<int64_t>& lo,
-                        std::vector<float>& t) {
-    lo.resize(out_len);
-    t.resize(out_len);
-    for (int64_t j = 0; j < out_len; ++j) {
-      if (in_len == 1 || out_len == 1) {
-        float pos = (out_len == 1) ? 0.0f
-                                   : static_cast<float>(j) * (in_len - 1) / (out_len - 1);
-        int64_t l = static_cast<int64_t>(pos);
-        if (l > in_len - 2) l = std::max<int64_t>(in_len - 2, 0);
-        lo[j] = l;
-        t[j] = (in_len == 1) ? 0.0f : pos - l;
-      } else {
-        float pos = static_cast<float>(j) * (in_len - 1) / (out_len - 1);
-        int64_t l = static_cast<int64_t>(pos);
-        if (l > in_len - 2) l = in_len - 2;
-        lo[j] = l;
-        t[j] = pos - l;
-      }
-    }
-  };
-
-  std::vector<int64_t> l0, l1, l2;
-  std::vector<float> t0, t1, t2;
-  axis_coords(i0, o0, l0, t0);
-  axis_coords(i1, o1, l1, t1);
-  axis_coords(i2, o2, l2, t2);
-
-  const int64_t in_s0 = i1 * i2, in_s1 = i2;
-  const int64_t out_s0 = o1 * o2, out_s1 = o2;
-
-  auto work = [&](int64_t z_begin, int64_t z_end) {
-    for (int64_t a = z_begin; a < z_end; ++a) {
-      const int64_t a0 = l0[a];
-      const float ta = t0[a];
-      const int64_t a1 = (i0 > 1) ? a0 + 1 : a0;
-      for (int64_t b = 0; b < o1; ++b) {
-        const int64_t b0 = l1[b];
-        const float tb = t1[b];
-        const int64_t b1 = (i1 > 1) ? b0 + 1 : b0;
-        float* dst = out + a * out_s0 + b * out_s1;
-        const float* p00 = in + a0 * in_s0 + b0 * in_s1;
-        const float* p01 = in + a0 * in_s0 + b1 * in_s1;
-        const float* p10 = in + a1 * in_s0 + b0 * in_s1;
-        const float* p11 = in + a1 * in_s0 + b1 * in_s1;
-        for (int64_t c = 0; c < o2; ++c) {
-          const int64_t c0 = l2[c];
-          const float tc = t2[c];
-          const int64_t c1 = (i2 > 1) ? c0 + 1 : c0;
-          const float v00 = p00[c0] * (1 - tc) + p00[c1] * tc;
-          const float v01 = p01[c0] * (1 - tc) + p01[c1] * tc;
-          const float v10 = p10[c0] * (1 - tc) + p10[c1] * tc;
-          const float v11 = p11[c0] * (1 - tc) + p11[c1] * tc;
-          const float v0 = v00 * (1 - tb) + v01 * tb;
-          const float v1 = v10 * (1 - tb) + v11 * tb;
-          dst[c] = v0 * (1 - ta) + v1 * ta;
-        }
-      }
-    }
-  };
-
-  int nt = n_threads > 0 ? n_threads : 1;
-  nt = std::min<int64_t>(nt, o0);
-  if (nt <= 1) {
-    work(0, o0);
-    return;
-  }
-  std::vector<std::thread> threads;
-  int64_t chunk = (o0 + nt - 1) / nt;
-  for (int t = 0; t < nt; ++t) {
-    int64_t begin = t * chunk;
-    int64_t end = std::min<int64_t>(begin + chunk, o0);
-    if (begin >= end) break;
-    threads.emplace_back(work, begin, end);
-  }
-  for (auto& th : threads) th.join();
+  resize3d_impl<false>(in, i0, i1, i2, out, o0, o1, o2, n_threads,
+                       nullptr, nullptr, nullptr);
 }
 
 // Convenience: read + resize in one call (the embed path's host stage).
@@ -412,8 +454,22 @@ extern "C" {
 int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
                    const int64_t* axes, const int64_t* counts, int n_axes,
                    float* out, int n_threads) {
+  int64_t dims[3];
+  if (int rc = pd_read_nifti(path, dims, nullptr)) return rc;
+  std::vector<float> raw(static_cast<size_t>(dims[0]) * dims[1] * dims[2]);
+  if (int rc = pd_read_nifti(path, dims, raw.data())) return rc;
+
+  // Resize with fused per-coordinate RAW maxima (buffer is C-order
+  // [t2, t1, t0], so axis a=z/t2, b=y/t1, c=x/t0). The maxima later give
+  // the nonzero-extent flags without a normalize-the-whole-volume pass:
+  // normalized > 0  <=>  raw > lo  (the normalizing scale is positive).
+  const float NEG_INF = -std::numeric_limits<float>::infinity();
+  std::vector<float> rawmax0(t0, NEG_INF), rawmax1(t1, NEG_INF), rawmax2(t2, NEG_INF);
   std::vector<float> vol(static_cast<size_t>(t0) * t1 * t2);
-  if (int rc = pd_read_resize_nifti(path, t0, t1, t2, vol.data(), n_threads)) return rc;
+  resize3d_impl<true>(raw.data(), dims[2], dims[1], dims[0], vol.data(), t2, t1, t0,
+                      n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data());
+  raw.clear();
+  raw.shrink_to_fit();
   const int64_t count = static_cast<int64_t>(vol.size());
 
   // percentile over the positive mask (numpy 'linear' interpolation),
@@ -525,34 +581,15 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   const int64_t s_z = t1 * t0;  // C stride of z in the buffer
   const int64_t s_y = t0;
 
-  // ONE fused pass: normalize in place (python normalizes before the
-  // nonzero-extent scan, so the masks must use NORMALIZED values) and
-  // track per-coordinate maxima for all three axes. Branch-free maxima
-  // instead of conditional flag stores keep the inner loop SIMD
-  // (clamp = min/max, normalize = fma, reduction = max) — the former
-  // per-element `if (v > 0) nz[x] = 1` defeated auto-vectorization.
-  std::vector<float> max0(t0, 0.0f), max1(t1, 0.0f), max2(t2, 0.0f);
-  for (int64_t z = 0; z < t2; ++z) {
-    float pmax = 0.0f;
-    for (int64_t y = 0; y < t1; ++y) {
-      float* row = vol.data() + z * s_z + y * s_y;
-      float* cmax = max0.data();
-      float rmax = 0.0f;
-      for (int64_t x = 0; x < t0; ++x) {
-        float v = norm(row[x]);
-        row[x] = v;
-        cmax[x] = cmax[x] > v ? cmax[x] : v;
-        rmax = rmax > v ? rmax : v;
-      }
-      max1[y] = max1[y] > rmax ? max1[y] : rmax;
-      pmax = pmax > rmax ? pmax : rmax;
-    }
-    max2[z] = pmax;
-  }
+  // Nonzero-extent flags from the raw maxima captured during the resize:
+  // the python mirror normalizes the whole volume then scans for
+  // normalized > 0, which is exactly raw > lo (clamp at lo maps to 0 and
+  // the scale 1/(hi-lo+1e-6) is positive). Only the gathered slices are
+  // ever normalized — the full-volume normalize pass is gone.
   std::vector<char> nz0(t0, 0), nz1(t1, 0), nz2(t2, 0);
-  for (int64_t x = 0; x < t0; ++x) nz0[x] = max0[x] > 0.0f;
-  for (int64_t y = 0; y < t1; ++y) nz1[y] = max1[y] > 0.0f;
-  for (int64_t z = 0; z < t2; ++z) nz2[z] = max2[z] > 0.0f;
+  for (int64_t x = 0; x < t0; ++x) nz0[x] = rawmax0[x] > lo;
+  for (int64_t y = 0; y < t1; ++y) nz1[y] = rawmax1[y] > lo;
+  for (int64_t z = 0; z < t2; ++z) nz2[z] = rawmax2[z] > lo;
 
   float* dst = out;
   for (int a = 0; a < n_axes; ++a) {
@@ -575,21 +612,21 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
                               : lo_i + (hi_i - lo_i) * (static_cast<double>(k) / (cnt - 1));
       int64_t idx = static_cast<int64_t>(pos);
       if (axis == 0) {
-        // out[k][y][z] = vol[x=idx, y, z]
+        // out[k][y][z] = norm(vol[x=idx, y, z])
         for (int64_t y = 0; y < t1; ++y)
           for (int64_t z = 0; z < t2; ++z)
-            *dst++ = vol[z * s_z + y * s_y + idx];
+            *dst++ = norm(vol[z * s_z + y * s_y + idx]);
       } else if (axis == 1) {
-        // out[k][x][z] = vol[x, y=idx, z]
+        // out[k][x][z] = norm(vol[x, y=idx, z])
         for (int64_t x = 0; x < t0; ++x)
           for (int64_t z = 0; z < t2; ++z)
-            *dst++ = vol[z * s_z + idx * s_y + x];
+            *dst++ = norm(vol[z * s_z + idx * s_y + x]);
       } else {
-        // out[k][x][y] = vol[x, y, z=idx]
+        // out[k][x][y] = norm(vol[x, y, z=idx])
         const float* plane = vol.data() + idx * s_z;
         for (int64_t x = 0; x < t0; ++x)
           for (int64_t y = 0; y < t1; ++y)
-            *dst++ = plane[y * s_y + x];
+            *dst++ = norm(plane[y * s_y + x]);
       }
     }
   }
