@@ -147,26 +147,6 @@ def _cv_program_moe(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va, y_va, w_va
 
 
 @jax.jit
-def _predict_folds_mlp(params_stack, X):
-    return jax.vmap(lambda p, x: jax.nn.sigmoid(mlp_apply(p, x)))(params_stack, X)
-
-
-@jax.jit
-def _predict_folds_scenarios_mlp(params_stack, X_scen):
-    """X_scen: [K, S, N, F] -> probs [K, S, N] (vmap over folds then scenarios)."""
-    return jax.vmap(lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs))(
-        params_stack, X_scen
-    )
-
-
-@jax.jit
-def _metrics_folds_scenarios(y, p, w):
-    """y, p, w: [K, S, N] -> dict of [K, S] metric arrays, one fused program."""
-    f = lambda yy, pp, ww: dev_metrics.binary_metrics(yy, pp, ww)
-    return jax.vmap(jax.vmap(f))(y, p, w)
-
-
-@jax.jit
 def _eval_folds_scenarios_packed_mlp(params_stack, X_scen, y, w):
     """predict + all metrics + pack into ONE buffer: a single device
     program whose single output array is fetched with one relay round
@@ -175,15 +155,6 @@ def _eval_folds_scenarios_packed_mlp(params_stack, X_scen, y, w):
     probs = jax.vmap(
         lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
     )(params_stack, X_scen)
-    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y, probs, w)
-    return dev_metrics.pack_metrics_and_probs(md, probs)
-
-
-@jax.jit
-def _eval_folds_scenarios_packed_moe(params_stack, x_va, m_va, y, w):
-    probs = jax.vmap(
-        lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms)
-    )(params_stack, x_va, m_va)
     md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y, probs, w)
     return dev_metrics.pack_metrics_and_probs(md, probs)
 
@@ -229,6 +200,20 @@ def _cv_program_moddrop(params_stack, X, y, w, assign, keys, Xs, yv, wv, lr, epo
 
 def _stack_params(param_list):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *param_list)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def _init_folds_mlp(init_keys, dims):
+    """All folds' MLP params in one program (identical values to the
+    per-fold eager mlp_init calls: same keys, same draws)."""
+    return jax.vmap(lambda k: mlp_init(k, list(dims)))(init_keys)
+
+
+@partial(jax.jit, static_argnames=("dims_items", "expert_hidden", "router_hidden"))
+def _init_folds_moe(init_keys, dims_items, expert_hidden, router_hidden):
+    return jax.vmap(
+        lambda k: moe_init(k, dict(dims_items), list(expert_hidden), list(router_hidden))
+    )(init_keys)
 
 
 def _cv_mesh(K: int, N: int):
@@ -385,12 +370,14 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
     input_dim = X_stack.shape[-1]
     dims = [input_dim, *params_cfg["hidden_dims"], 1]
     if fold_keys is not None:
-        param_list = [mlp_init(fold_keys[i][0], dims) for i in range(K)]
+        init_keys = jnp.stack([fold_keys[i][0] for i in range(K)])
         keys = jnp.stack([fold_keys[i][1] for i in range(K)])
     else:
-        param_list = [mlp_init(fresh_key(), dims) for _ in range(K)]
+        init_keys = jnp.stack([fresh_key() for _ in range(K)])
         keys = jnp.stack([fresh_key() for _ in range(K)])
-    params_stack = _stack_params(param_list)
+    # all folds' params in ONE jitted program: eager per-fold mlp_init is
+    # ~6 tiny dispatches per layer, each paying a relay RTT
+    params_stack = _init_folds_mlp(init_keys, tuple(dims))
 
     mesh = _cv_mesh(K, X_stack.shape[1]) if config.get("cv_mesh", "auto") != "off" else None
     if mesh is not None:
@@ -542,16 +529,16 @@ def _run_parallel_cv_moe(
             y_va[i, si, :nv] = yva_list[i]
             w_va[i, si, :nv] = 1.0
 
-    param_list = [
-        moe_init(
-            fold_keys[i][0] if fold_keys is not None else fresh_key(),
-            dims,
-            params_cfg["expert_hidden_dims"],
-            params_cfg["router_hidden_dims"],
-        )
-        for i in range(K)
-    ]
-    params_stack = _stack_params(param_list)
+    init_keys = jnp.stack(
+        [fold_keys[i][0] if fold_keys is not None else fresh_key() for i in range(K)]
+    )
+    # one program instead of K eager inits (same keys, same draws)
+    params_stack = _init_folds_moe(
+        init_keys,
+        tuple(dims.items()),  # preserve insertion order: draw order matters
+        tuple(params_cfg["expert_hidden_dims"]),
+        tuple(params_cfg["router_hidden_dims"]),
+    )
 
     packed = np.asarray(
         _cv_program_moe(
