@@ -209,18 +209,39 @@ def measure_embed_stages(paths, params, mean, std):
     mean_d, std_d = jnp.asarray(mean), jnp.asarray(std)
     out = embed_slices_batch(params, stack_d, mean_d, std_d, "resnet18", EMBED_INPUT, False)
     jax.block_until_ready(out)
-    n_calls = max(1, (len(paths) + B - 1) // B)
+    n_calls = max(12, (len(paths) + B - 1) // B)  # enough reps to amortize
+    # the single end-of-loop sync RTT (~40 ms on the relay) to noise
     t0 = time.time()
-    for _ in range(n_calls):
-        jax.block_until_ready(
-            embed_slices_batch(params, stack_d, mean_d, std_d, "resnet18", EMBED_INPUT, False)
-        )
+    outs = [
+        embed_slices_batch(params, stack_d, mean_d, std_d, "resnet18", EMBED_INPUT, False)
+        for _ in range(n_calls)
+    ]
+    jax.block_until_ready(outs)  # ONE sync: per-call sync measures relay RTT, not compute
     stages["device_s"] = round(time.time() - t0, 3)
 
     flops = resnet18_forward_flops(EMBED_INPUT) * EMBED_SLICES * B * n_calls
     achieved = flops / max(stages["device_s"], 1e-9)
     stages["device_tflops"] = round(achieved / 1e12, 2)
     stages["embed_mfu_vs_bf16_peak"] = round(achieved / TPU_V5E_BF16_PEAK, 4)
+
+    # same program in bfloat16 (the idiomatic-TPU mode, config key
+    # compute_dtype; default stays f32 for reference parity) — shows the
+    # MXU headroom the knob buys
+    out = embed_slices_batch(
+        params, stack_d, mean_d, std_d, "resnet18", EMBED_INPUT, False, "bfloat16"
+    )
+    jax.block_until_ready(out)
+    t0 = time.time()
+    outs = [
+        embed_slices_batch(
+            params, stack_d, mean_d, std_d, "resnet18", EMBED_INPUT, False, "bfloat16"
+        )
+        for _ in range(n_calls)
+    ]
+    jax.block_until_ready(outs)
+    dt = max(time.time() - t0, 1e-9)
+    stages["device_tflops_bf16"] = round(flops / dt / 1e12, 2)
+    stages["embed_mfu_bf16"] = round(flops / dt / TPU_V5E_BF16_PEAK, 4)
     return stages
 
 
