@@ -268,8 +268,9 @@ def main():
     if not os.environ.get("PD_FUSION_BENCH_NO_SCALE"):
         wall_a, _ = run_cv_once("scale", n_subjects=5000, k=10)
         wall_b, _ = run_cv_once("scale2", n_subjects=5000, k=10)
-        scale_wall = min(wall_a, wall_b)
-        for tag in ("scale", "scale2"):
+        wall_c, _ = run_cv_once("scale3", n_subjects=5000, k=10)
+        scale_wall = min(wall_a, wall_b, wall_c)
+        for tag in ("scale", "scale2", "scale3"):
             shutil.rmtree(RUNS_DIR / f"bench_{tag}", ignore_errors=True)
         scale = {
             "cv_scale_wall_s": round(scale_wall, 3),

@@ -237,3 +237,37 @@ def test_mil_attention_cv_with_nested_calibration(cleanup_run, monkeypatch):
     )
     assert "full_observation" in agg
     assert 0.0 <= agg["full_observation"]["ece"]["mean"] <= 1.0
+
+
+def test_batched_fold_init_matches_eager_init():
+    """_init_folds_mlp (one jitted program for all folds' params) must
+    reproduce per-fold eager mlp_init with the same keys. Equality is to
+    float eps, not bitwise: under jit XLA fuses the uniform's
+    lo + u*(hi-lo) into an FMA, so the last mantissa bit can differ from
+    the eager op-by-op rounding. Reproducibility of runs is unaffected —
+    every CV path (standalone, fused sweep) draws through this same
+    program."""
+    import jax
+    import numpy as np
+
+    from pd_fusion.nn.mlp import mlp_init
+    from pd_fusion.parallel.cv_engine import _init_folds_mlp, _stack_params
+
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+    dims = (11, 16, 1)
+    eager = _stack_params([mlp_init(k, list(dims)) for k in keys])
+    batched = _init_folds_mlp(jax.numpy.stack(keys), dims)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        eager,
+        batched,
+    )
+    # and the batched program is self-consistent across calls (cache hit)
+    again = _init_folds_mlp(jax.numpy.stack(keys), dims)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        batched,
+        again,
+    )

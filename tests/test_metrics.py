@@ -101,3 +101,21 @@ def test_risk_coverage_matches_reference_semantics():
     acc = np.cumsum(correct) / np.arange(1, 101)
     np.testing.assert_allclose(np.asarray(out["risk"]), 1 - acc, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["coverage"]), np.arange(1, 101) / 100, atol=1e-6)
+
+
+def test_pack_unpack_metrics_and_probs_roundtrip():
+    """pack_metrics_and_probs (the single-fetch buffer layout used by the
+    whole-CV and scenario-eval programs) must be the exact inverse of
+    unpack_metrics_and_probs for any [K, S] metric grid."""
+    import jax.numpy as jnp
+    from pd_fusion.ops import metrics as dm
+
+    rng = np.random.RandomState(7)
+    K, S, N = 3, 4, 17
+    md = {k: jnp.asarray(rng.rand(K, S).astype(np.float32)) for k in dm.METRIC_NAMES}
+    probs = jnp.asarray(rng.rand(K, S, N).astype(np.float32))
+    packed = np.asarray(dm.pack_metrics_and_probs(md, probs))
+    md2, probs2 = dm.unpack_metrics_and_probs(packed, (K, S), (K, S, N))
+    for k in dm.METRIC_NAMES:
+        np.testing.assert_array_equal(np.asarray(md[k]), md2[k])
+    np.testing.assert_array_equal(np.asarray(probs), probs2)
