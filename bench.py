@@ -9,16 +9,16 @@ Two legs, mirroring BASELINE.json's "subjects/sec (embed+train)" metric:
    `cli run --k-fold 5` pipeline (runs through the vmapped one-program
    CV engine).
    Reference baseline: the torch reference (NaN-fill patched so it runs;
-   see SURVEY) executes the identical workload in 3.68-4.5 s on this
-   image (2026-08-16 oracle runs; the conservative 3.68 s is used).
+   see SURVEY) executes the identical workload in 3.10-4.5 s on this
+   image (round-2 oracle runs; the conservative 3.10 s is used).
    Re-derivable via scripts/measure_reference_oracle.py cv.
 
 2. **Embed leg** — 16 synthetic T1w-sized volumes (raw 180x200x180,
    .nii.gz) -> resnet18 slice embeddings (160³ resize, 24 axial slices,
    224² input, mean-pool), the reference's build_resnet2d_embeddings
    workload. Reference baseline: a faithful torch/scipy emulation of the
-   reference's serial per-subject pipeline measured at 0.470 subj/s on
-   this image (2026-08-16; re-derivable via
+   reference's serial per-subject pipeline measured at 0.461-0.516
+   subj/s on this image (conservative 0.516 used; re-derivable via
    scripts/measure_reference_oracle.py embed — the image has no
    nibabel/torchvision so the emulation substitutes our reader and an
    architecture-identical torch resnet18, random weights on both sides).
@@ -35,8 +35,8 @@ Extra reported figures:
   passes, so this is a conservative utilization bound.
 - a scaled CV leg (N=5000, K=10) so the large-N speedup is
   driver-captured rather than prose (VERDICT item 9); skip with
-  PD_FUSION_BENCH_NO_SCALE=1. Reference oracle for it: 73.8 s
-  (2026-08-16, same patched-reference recipe).
+  PD_FUSION_BENCH_NO_SCALE=1. Reference oracle for it: 59.3-79.7 s
+  (conservative 59.3 used; same patched-reference recipe).
 
 value = combined subjects/sec = total subjects processed / total wall.
 vs_baseline = combined speedup over the reference's combined rate.
@@ -51,16 +51,17 @@ from pathlib import Path
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
 
-# Reference-oracle constants, re-measured 2026-08-16 (round 2) on an idle
-# host via scripts/measure_reference_oracle.py; each value is the
-# CONSERVATIVE end of the observed spread (fastest reference wall /
-# highest reference rate), so vs_baseline is a lower bound:
-#   cv:    {3.681, 4.287, 4.503} s  -> 3.68
-#   embed: {0.4611, 0.4693} subj/s  -> 0.470
-#   scale: 79.74 s this round, 73.8 s round-1 -> 73.8
-REF_CV_WALL_S = 3.68
-REF_EMBED_RATE = 0.470
-REF_CV_SCALE_WALL_S = 73.8
+# Reference-oracle constants, re-measured repeatedly across round 2 via
+# scripts/measure_reference_oracle.py (the host's effective CPU speed
+# drifts ~30% between sessions); each value is the CONSERVATIVE end of
+# the FULL observed spread (fastest reference wall / highest reference
+# rate), so vs_baseline is a lower bound:
+#   cv:    {3.10, 3.68, 4.29, 4.50} s      -> 3.10
+#   embed: {0.461, 0.469, 0.516} subj/s    -> 0.516
+#   scale: {59.3, 73.8, 79.7} s            -> 59.3
+REF_CV_WALL_S = 3.10
+REF_EMBED_RATE = 0.516
+REF_CV_SCALE_WALL_S = 59.3
 N_SUBJECTS = 500
 K_FOLDS = 5
 N_EMBED = 16

@@ -35,10 +35,20 @@ REPO = Path(__file__).resolve().parent.parent
 REF_RUN = Path("/tmp/ref_run")
 
 
+def _ensure_ref_copy() -> None:
+    """Self-restore the patchable reference copy (/tmp is volatile)."""
+    if not REF_RUN.exists():
+        import shutil
+
+        src = Path("/root/reference")
+        if not src.exists():
+            raise SystemExit("reference tree not mounted at /root/reference")
+        shutil.copytree(src, REF_RUN)
+
+
 def measure_cv(n_subjects: int = 500, k: int = 5) -> float:
     """Wall seconds for the reference's K-fold CV on the bench workload."""
-    if not REF_RUN.exists():
-        raise SystemExit("copy the reference first: cp -r /root/reference /tmp/ref_run")
+    _ensure_ref_copy()
     sys.path.insert(0, str(REF_RUN / "src"))
 
     import numpy as np
