@@ -51,3 +51,47 @@ def test_native_fused_read_resize(tmp_path):
     got = native.read_resize_nifti_native(p, target)
     assert got is not None
     np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_native_prep_slices_matches_python_mirror_adversarial(tmp_path):
+    """pd_prep_slices (read+resize+histogram-select percentile normalize+
+    extent slice select) against the python mirror on adversarial value
+    distributions: all-negative (empty positive mask), constant volumes
+    (degenerate hi==lo), near-duplicate values (percentile ranks land in
+    one histogram bucket), huge dynamic range, sparse positives, and
+    multi-axis selection. The mirror computes percentiles in float64 so
+    equality is to float32 eps, not bitwise."""
+    from pd_fusion.imaging.pipeline import (
+        load_volume,
+        normalize_volume_host,
+        select_slices_host,
+    )
+
+    rng = np.random.RandomState(5)
+    shape = (24, 24, 24)
+    cases = {
+        "uniform": rng.rand(18, 20, 16).astype(np.float32),
+        "all_negative": (-1.0 - rng.rand(18, 20, 16)).astype(np.float32),
+        "constant": np.full((18, 20, 16), 0.73, np.float32),
+        "near_duplicates": np.where(
+            rng.rand(18, 20, 16) < 0.95, np.float32(0.5), rng.rand(18, 20, 16)
+        ).astype(np.float32),
+        "huge_range": (rng.rand(18, 20, 16) * 1e20 + 1e-20).astype(np.float32),
+        "sparse_positive": np.where(
+            rng.rand(18, 20, 16) < 0.02, rng.rand(18, 20, 16), np.float32(0.0)
+        ).astype(np.float32),
+    }
+    for name, vol in cases.items():
+        p = tmp_path / f"{name}.nii.gz"
+        write_nifti(p, vol)
+        for axes, counts in (([2], [5]), ([0, 1, 2], [3, 4, 5])):
+            nat = native.prep_slices_native(p, shape, axes, counts)
+            assert nat is not None, name
+            resized = load_volume(p, shape)
+            normed = normalize_volume_host(resized)
+            mirror = np.concatenate(
+                [select_slices_host(normed, ax, ct) for ax, ct in zip(axes, counts)],
+                axis=0,
+            )
+            np.testing.assert_allclose(nat, mirror, rtol=2e-5, atol=2e-6,
+                                       err_msg=f"{name} axes={axes}")
