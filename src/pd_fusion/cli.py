@@ -69,6 +69,13 @@ def _build_model_overrides(args) -> dict:
         overrides["model_type"] = model
         overrides["params"] = _load_params("configs/model_moe.yaml")
     else:
+        from pd_fusion.experiments.registry import MODEL_REGISTRY
+
+        if model not in MODEL_REGISTRY:
+            raise SystemExit(
+                f"unknown --model '{model}'; valid: {', '.join(sorted(MODEL_REGISTRY))} "
+                "or a unimodal_<modality>[_mlp|_gbdt] spec"
+            )
         overrides["model_type"] = model
     return overrides
 

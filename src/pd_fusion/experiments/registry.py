@@ -1,8 +1,10 @@
 """Model registry: model_type string -> constructor module path.
 
 The reference kept an unused name->class-name dict (experiments/
-registry.py:2-9); here the registry is real and is what the CLI uses to
-validate ``--model`` overrides.
+registry.py:2-9); here the registry is real: cli._build_model_overrides
+validates ``--model`` strings against it (unknown names fail fast with
+the valid list instead of surfacing later as a KeyError deep in the
+training dispatch).
 """
 MODEL_REGISTRY = {
     "fusion_late": "pd_fusion.models.fusion_late:LateFusionModel",

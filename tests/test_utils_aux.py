@@ -103,3 +103,26 @@ def test_run_pipeline_seed_determinism(tmp_path):
             assert float(a[scen][metric]) == pytest.approx(float(b[scen][metric]), abs=1e-6), (
                 scen, metric,
             )
+
+
+def test_cli_rejects_unknown_model_with_registry_listing():
+    """--model strings outside the registry fail fast with the valid
+    list (exercises experiments.registry.MODEL_REGISTRY)."""
+    import pytest
+
+    from pd_fusion.cli import _build_model_overrides
+    from pd_fusion.experiments.registry import MODEL_REGISTRY
+
+    class _A:
+        model = "definitely_not_a_model"
+        config = "configs/quickstart.yaml"
+
+    with pytest.raises(SystemExit, match="unknown --model"):
+        _build_model_overrides(_A())
+
+    # every registry entry resolves to an importable constructor
+    import importlib
+
+    for name, spec in MODEL_REGISTRY.items():
+        mod, _, cls = spec.partition(":")
+        assert hasattr(importlib.import_module(mod), cls), name
