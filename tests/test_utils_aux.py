@@ -126,3 +126,16 @@ def test_cli_rejects_unknown_model_with_registry_listing():
     for name, spec in MODEL_REGISTRY.items():
         mod, _, cls = spec.partition(":")
         assert hasattr(importlib.import_module(mod), cls), name
+
+
+def test_cli_prepare_dev_smoke(monkeypatch, capsys):
+    """prepare-dev reports dataset availability without crashing when no
+    dev data is present (reference stubs this subcommand out)."""
+    import sys
+
+    from pd_fusion import cli
+
+    monkeypatch.setattr(sys, "argv", ["pd-fusion", "prepare-dev"])
+    cli.main()
+    out = capsys.readouterr().out
+    assert "uci_parkinsons" in out and "uci_telemonitoring" in out
