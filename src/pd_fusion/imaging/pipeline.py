@@ -503,11 +503,18 @@ def run_resnet_embedding_pipeline(
     if batch_idx:
         flush(batch_idx, batch_payload)
 
-    # single device-side concat + ONE host fetch for every embedding
+    # single device-side concat + ONE host fetch for every embedding.
+    # The concat program's arity is the chunk count; pad to the next
+    # power of two (repeating the last chunk costs no transfer) so at
+    # most log2(n/B) concat variants ever compile, not one per dataset
+    # size.
     results: List[Optional[np.ndarray]] = [None] * n
-    all_emb = np.asarray(
-        _concat_rows(tuple(flush_embs)) if len(flush_embs) > 1 else flush_embs[0]
-    )
+    if len(flush_embs) > 1:
+        P = 1 << (len(flush_embs) - 1).bit_length()
+        padded = tuple(flush_embs) + (flush_embs[-1],) * (P - len(flush_embs))
+        all_emb = np.asarray(_concat_rows(padded))
+    else:
+        all_emb = np.asarray(flush_embs[0])
     for f, idxs in enumerate(flush_idx):
         for j, i in enumerate(idxs):
             results[i] = all_emb[f * B + j]
