@@ -204,10 +204,15 @@ inline int32_t rd_i32(const uint8_t* p, bool swap) {
 // the per-coordinate maximum of the RESIZED values along each output
 // axis (max_a[o0], max_b[o1], max_c[o2]; caller zero/lowest-initialises)
 // — one fused pass replaces a separate maxima sweep in the prep path.
+// With TRACK_MAX, also builds the positive-value histogram the prep
+// path's percentile select needs (top-16 float bits; hist[65536] and
+// n_pos, caller zero-initialised) — the rows are L1-resident right
+// after being written, so this replaces a separate full-volume stream.
 template <bool TRACK_MAX>
 void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
                    float* out, int64_t o0, int64_t o1, int64_t o2,
-                   int n_threads, float* max_a, float* max_b, float* max_c) {
+                   int n_threads, float* max_a, float* max_b, float* max_c,
+                   uint32_t* hist = nullptr, int64_t* n_pos = nullptr) {
   auto axis_coords = [](int64_t in_len, int64_t out_len, std::vector<int64_t>& lo,
                         std::vector<float>& t) {
     lo.resize(out_len);
@@ -244,9 +249,12 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
     // thread-local maxima merged under a lock after the sweep
     const float NEG_INF = -std::numeric_limits<float>::infinity();
     std::vector<float> lmax_b, lmax_c;
+    std::vector<uint32_t> lhist;
+    int64_t ln_pos = 0;
     if (TRACK_MAX) {
       lmax_b.assign(o1, NEG_INF);
       lmax_c.assign(o2, NEG_INF);
+      if (hist) lhist.assign(65536, 0);
     }
     for (int64_t a = z_begin; a < z_end; ++a) {
       const int64_t a0 = l0[a];
@@ -284,6 +292,18 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
         if (TRACK_MAX) {
           lmax_b[b] = lmax_b[b] > bmax ? lmax_b[b] : bmax;
           amax = amax > bmax ? amax : bmax;
+          if (hist) {
+            // second, scalar sweep over the row while it is still in L1
+            for (int64_t c = 0; c < o2; ++c) {
+              const float v = dst[c];
+              if (v > 0.0f) {
+                uint32_t bits;
+                std::memcpy(&bits, &v, 4);
+                ++lhist[bits >> 16];
+                ++ln_pos;
+              }
+            }
+          }
         }
       }
       if (TRACK_MAX) max_a[a] = amax;  // `a` ranges are disjoint per thread
@@ -294,6 +314,10 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
         max_b[b] = max_b[b] > lmax_b[b] ? max_b[b] : lmax_b[b];
       for (int64_t c = 0; c < o2; ++c)
         max_c[c] = max_c[c] > lmax_c[c] ? max_c[c] : lmax_c[c];
+      if (hist) {
+        for (int64_t h = 0; h < 65536; ++h) hist[h] += lhist[h];
+        *n_pos += ln_pos;
+      }
     }
   };
 
@@ -465,32 +489,25 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   // normalized > 0  <=>  raw > lo  (the normalizing scale is positive).
   const float NEG_INF = -std::numeric_limits<float>::infinity();
   std::vector<float> rawmax0(t0, NEG_INF), rawmax1(t1, NEG_INF), rawmax2(t2, NEG_INF);
+  std::vector<uint32_t> hist(65536, 0);
+  int64_t n_pos = 0;
   std::vector<float> vol(static_cast<size_t>(t0) * t1 * t2);
   resize3d_impl<true>(raw.data(), dims[2], dims[1], dims[0], vol.data(), t2, t1, t0,
-                      n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data());
+                      n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data(),
+                      hist.data(), &n_pos);
   raw.clear();
   raw.shrink_to_fit();
   const int64_t count = static_cast<int64_t>(vol.size());
 
   // percentile over the positive mask (numpy 'linear' interpolation),
   // computed by EXACT histogram select: positive IEEE-754 floats compare
-  // the same as their bit patterns, so a 65536-bin histogram on the top
-  // 16 mantissa/exponent bits finds the bucket holding each rank in one
-  // streaming pass; only that bucket's members (typically a few hundred)
-  // are then collected and order-selected. Replaces the former
-  // push_back-all + nth_element-over-4M approach (~4x faster on the
-  // 1-core host, identical results — the k-th order statistic is exact).
-  std::vector<uint32_t> hist(65537, 0);
-  int64_t n_pos = 0;
-  for (int64_t i = 0; i < count; ++i) {
-    float v = vol[i];
-    if (v > 0.0f) {
-      uint32_t bits;
-      std::memcpy(&bits, &v, 4);
-      ++hist[bits >> 16];
-      ++n_pos;
-    }
-  }
+  // the same as their bit patterns, so the 65536-bin histogram on the
+  // top 16 mantissa/exponent bits (built inside the resize pass while
+  // rows are L1-resident) finds the bucket holding each rank; only that
+  // bucket's members (typically a few hundred) are then collected and
+  // order-selected. Replaces the former push_back-all +
+  // nth_element-over-4M approach (~4x faster on the 1-core host,
+  // identical results — the k-th order statistic is exact).
   float lo, hi;
   if (n_pos == 0) {
     lo = *std::min_element(vol.begin(), vol.end());
