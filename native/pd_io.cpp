@@ -18,6 +18,7 @@
 #include <thread>
 #include <algorithm>
 #include <limits>
+#include <memory>
 #include <mutex>
 #include <zlib.h>
 #ifdef PD_HAVE_LIBDEFLATE
@@ -480,8 +481,11 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
                    float* out, int n_threads) {
   int64_t dims[3];
   if (int rc = pd_read_nifti(path, dims, nullptr)) return rc;
-  std::vector<float> raw(static_cast<size_t>(dims[0]) * dims[1] * dims[2]);
-  if (int rc = pd_read_nifti(path, dims, raw.data())) return rc;
+  const size_t raw_n = static_cast<size_t>(dims[0]) * dims[1] * dims[2];
+  // new float[] stays UNinitialized (POD default-init): a std::vector
+  // here memsets ~26 MB that pd_read_nifti immediately overwrites
+  std::unique_ptr<float[]> raw(new float[raw_n]);
+  if (int rc = pd_read_nifti(path, dims, raw.get())) return rc;
 
   // Resize with fused per-coordinate RAW maxima (buffer is C-order
   // [t2, t1, t0], so axis a=z/t2, b=y/t1, c=x/t0). The maxima later give
@@ -491,13 +495,14 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   std::vector<float> rawmax0(t0, NEG_INF), rawmax1(t1, NEG_INF), rawmax2(t2, NEG_INF);
   std::vector<uint32_t> hist(65536, 0);
   int64_t n_pos = 0;
-  std::vector<float> vol(static_cast<size_t>(t0) * t1 * t2);
-  resize3d_impl<true>(raw.data(), dims[2], dims[1], dims[0], vol.data(), t2, t1, t0,
+  const size_t vol_n = static_cast<size_t>(t0) * t1 * t2;
+  std::unique_ptr<float[]> vol_buf(new float[vol_n]);  // fully overwritten by the resize
+  float* const vol = vol_buf.get();
+  resize3d_impl<true>(raw.get(), dims[2], dims[1], dims[0], vol, t2, t1, t0,
                       n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data(),
                       hist.data(), &n_pos);
-  raw.clear();
-  raw.shrink_to_fit();
-  const int64_t count = static_cast<int64_t>(vol.size());
+  raw.reset();
+  const int64_t count = static_cast<int64_t>(vol_n);
 
   // percentile over the positive mask (numpy 'linear' interpolation),
   // computed by EXACT histogram select: positive IEEE-754 floats compare
@@ -510,8 +515,8 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   // identical results — the k-th order statistic is exact).
   float lo, hi;
   if (n_pos == 0) {
-    lo = *std::min_element(vol.begin(), vol.end());
-    hi = *std::max_element(vol.begin(), vol.end());
+    lo = *std::min_element(vol, vol + count);
+    hi = *std::max_element(vol, vol + count);
   } else {
     // ranks needed: k and k+1 for both quantiles (numpy 'linear');
     // map each to its bucket via the cumulative histogram, then collect
@@ -640,7 +645,7 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
             *dst++ = norm(vol[z * s_z + idx * s_y + x]);
       } else {
         // out[k][x][y] = norm(vol[x, y, z=idx])
-        const float* plane = vol.data() + idx * s_z;
+        const float* plane = vol + idx * s_z;
         for (int64_t x = 0; x < t0; ++x)
           for (int64_t y = 0; y < t1; ++y)
             *dst++ = norm(plane[y * s_y + x]);
