@@ -53,7 +53,11 @@ bool read_gz_zlib(const char* path, size_t hint, std::vector<uint8_t>& out) {
   return ok;
 }
 
-bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
+// Fills `out`/`out_n` with the whole (decompressed) file. The buffer is
+// allocated UNinitialized (new[]) — both the libdeflate and zlib paths
+// overwrite every byte they report, and a std::vector here would memset
+// ~26 MB per volume first.
+bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_t& out_n) {
   // Probe the magic and the gzip ISIZE trailer (decompressed size mod
   // 2^32 — exact for NIfTI volumes, which are far below 4 GiB).
   size_t hint = 0;
@@ -86,27 +90,32 @@ bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
   // embed pipeline on this 1-core host). Any anomaly (truncated file,
   // multi-member beyond what we loop over, bad ISIZE) falls back to zlib.
   if (is_gzip && file_size > 18) {
-    std::vector<uint8_t> comp(static_cast<size_t>(file_size));
+    const size_t comp_n = static_cast<size_t>(file_size);
+    std::unique_ptr<uint8_t[]> comp(new uint8_t[comp_n]);
     bool read_ok = false;
     if (FILE* rf = fopen(path, "rb")) {
-      read_ok = fread(comp.data(), 1, comp.size(), rf) == comp.size();
+      read_ok = fread(comp.get(), 1, comp_n, rf) == comp_n;
       fclose(rf);
     }
     if (read_ok) {
       if (libdeflate_decompressor* d = libdeflate_alloc_decompressor()) {
-        out.clear();
-        out.resize(hint ? hint : comp.size() * 4);
+        size_t cap = hint ? hint : comp_n * 4;
+        out.reset(new uint8_t[cap]);
         size_t in_pos = 0, out_pos = 0;
         bool ok = true;
         // loop over gzip members (NIfTI is single-member; be robust)
-        while (in_pos < comp.size() &&
-               !(comp.size() - in_pos < 18)) {  // min gzip member size
+        while (in_pos < comp_n &&
+               !(comp_n - in_pos < 18)) {  // min gzip member size
           size_t in_used = 0, out_used = 0;
           libdeflate_result r = libdeflate_gzip_decompress_ex(
-              d, comp.data() + in_pos, comp.size() - in_pos,
-              out.data() + out_pos, out.size() - out_pos, &in_used, &out_used);
+              d, comp.get() + in_pos, comp_n - in_pos,
+              out.get() + out_pos, cap - out_pos, &in_used, &out_used);
           if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
-            out.resize(out.size() * 2);
+            size_t new_cap = cap * 2;
+            std::unique_ptr<uint8_t[]> bigger(new uint8_t[new_cap]);
+            std::memcpy(bigger.get(), out.get(), out_pos);
+            out = std::move(bigger);
+            cap = new_cap;
             continue;
           }
           if (r != LIBDEFLATE_SUCCESS) {
@@ -118,7 +127,7 @@ bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
         }
         libdeflate_free_decompressor(d);
         if (ok && out_pos > 0) {
-          out.resize(out_pos);
+          out_n = out_pos;
           return true;
         }
       }
@@ -126,7 +135,12 @@ bool read_file_maybe_gz(const char* path, std::vector<uint8_t>& out) {
   }
 #endif
 
-  return read_gz_zlib(path, hint, out);
+  std::vector<uint8_t> buf;
+  if (!read_gz_zlib(path, hint, buf)) return false;
+  out_n = buf.size();
+  out.reset(new uint8_t[out_n]);
+  std::memcpy(out.get(), buf.data(), out_n);
+  return true;
 }
 
 template <typename T>
@@ -348,21 +362,22 @@ extern "C" {
 // NaN/Inf -> 0). Call once with out == null to get dims, then again with
 // a buffer of product(dims) floats.
 int pd_read_nifti(const char* path, int64_t* dims, float* out) {
-  std::vector<uint8_t> raw;
+  std::unique_ptr<uint8_t[]> raw;
+  size_t raw_n = 0;
   if (out == nullptr) {
     // header-only: inflate just the first block instead of the whole file
     gzFile f = gzopen(path, "rb");
     if (!f) return 1;
-    raw.resize(352);
-    int n = gzread(f, raw.data(), 352);
+    raw.reset(new uint8_t[352]);
+    int n = gzread(f, raw.get(), 352);
     gzclose(f);
     if (n < 348) return 2;
-    raw.resize(n);
-  } else if (!read_file_maybe_gz(path, raw)) {
+    raw_n = static_cast<size_t>(n);
+  } else if (!read_file_maybe_gz(path, raw, raw_n)) {
     return 1;
   }
-  if (raw.size() < 348) return 2;
-  const uint8_t* h = raw.data();
+  if (raw_n < 348) return 2;
+  const uint8_t* h = raw.get();
 
   bool swap = false;
   int32_t sizeof_hdr = rd_i32(h, false);
@@ -415,8 +430,8 @@ int pd_read_nifti(const char* path, int64_t* dims, float* out) {
     case 768: elem = 4; break;  // uint32
     default: return 7;
   }
-  if (raw.size() < offset + count * elem) return 8;
-  const uint8_t* data = raw.data() + offset;
+  if (raw_n < offset + count * elem) return 8;
+  const uint8_t* data = raw.get() + offset;
 
   switch (datatype) {
     case 2: convert_to_f32<uint8_t>(data, count, false, out); break;
