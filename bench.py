@@ -288,11 +288,9 @@ def main():
     mean = np.array([0.5, 0.5, 0.5], np.float32)
     std = np.array([0.5, 0.5, 0.5], np.float32)
     run_embed_once(paths[:8], params, mean, std)  # compile warmup (B=8 program)
-    embed_wall = min(
-        run_embed_once(paths, params, mean, std),
-        run_embed_once(paths, params, mean, std),
-        run_embed_once(paths, params, mean, std),
-    )
+    # min of five: single relay-RTT stalls (0.1-2 s, sporadic) hit the
+    # embed leg hardest — it has the most host<->device interactions
+    embed_wall = min(run_embed_once(paths, params, mean, std) for _ in range(5))
     stages = measure_embed_stages(paths, params, mean, std)
 
     # CV-leg analytic FLOPs (Adam fwd+bwd ~= 3x fwd on the MLP matmuls):
