@@ -313,7 +313,8 @@ def run_cv_pipeline(config_path: str, k: int = 5, synthetic: bool = False, overr
         # one-program vmapped CV: all folds train simultaneously on device
         logger.info(f"Running vmapped parallel CV over {k} folds (one XLA program)")
         _resolve_params(config, config["model_type"])
-        metrics_all, fold_preds = run_parallel_cv(config, df, masks, folds, eval_config)
+        with phase_timer("parallel_cv"), maybe_profile("parallel_cv"):
+            metrics_all, fold_preds = run_parallel_cv(config, df, masks, folds, eval_config)
         for i, res in enumerate(metrics_all):
             res["fold"] = i + 1
             save_yaml(res, run_dir / f"results_fold_{i + 1}.yaml")
