@@ -333,3 +333,51 @@ def test_mil_finetune_bn_stats_and_freeze_semantics(synthetic_dataset):
                 weight_frozen = False
     assert stat_moved > 0, "BN running stats never updated during fine-tune"
     assert weight_frozen, "frozen backbone weights changed (decay leaked through the gate)"
+
+
+def test_mil_finetune_checkpoint_resume(synthetic_dataset, tmp_path):
+    """Mid-training checkpoint/resume: a fresh model pointed at the same
+    checkpoint_dir with the same total epochs resumes past the completed
+    epochs (here: skips training entirely) and carries the checkpointed
+    params — the production crash-recovery path."""
+    import jax
+    import numpy as np
+
+    from pd_fusion.models.mil_attention_finetune import MilAttentionFineTuneModel
+    from pd_fusion.utils.checkpoint import latest_step
+    from pd_fusion.utils.seed import set_seed
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    bags = df["t1wbrain_path"].tolist()[:6]
+    y = df["label"].values[:6]
+
+    cfg = {
+        "backbone": "resnet18",
+        "pretrained": False,
+        "target_shape": (16, 16, 16),
+        "slice_axis": 2,
+        "slice_count": 4,
+        "input_size": 32,
+        "batch_size": 3,
+        "epochs": 2,
+        "freeze_backbone_epochs": 99,  # head-only: fast
+        "hidden_dim": 16,
+        "attn_dim": 8,
+        "train_aug": False,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "checkpoint_every": 1,
+    }
+    set_seed(1)
+    m1 = MilAttentionFineTuneModel(dict(cfg))
+    m1.train(bags, y)
+    assert latest_step(str(tmp_path / "ckpt")) == 1  # epochs 0 and 1 saved
+
+    set_seed(1)
+    m2 = MilAttentionFineTuneModel(dict(cfg))
+    m2.train(bags, y)  # start_epoch = 2 == epochs -> pure resume, no steps
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        {"b": m1.backbone_params, "h": m1.head_params},
+        {"b": m2.backbone_params, "h": m2.head_params},
+    )
