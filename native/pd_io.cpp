@@ -175,9 +175,12 @@ void convert_to_f32<float>(const uint8_t* src, int64_t count, bool swap, float* 
     }
     return;
   }
-  const uint32_t* p = reinterpret_cast<const uint32_t*>(src);
+  // memcpy load: vox_offset need not be 4-byte aligned, and this avoids
+  // the aliasing UB of a reinterpret_cast load; compilers emit the same
+  // vectorized code either way.
   for (int64_t i = 0; i < count; ++i) {
-    uint32_t bits = p[i];
+    uint32_t bits;
+    std::memcpy(&bits, src + 4 * i, 4);
     bits = ((bits >> 23) & 0xFF) == 0xFF ? 0 : bits;
     std::memcpy(dst + i, &bits, 4);
   }
@@ -623,10 +626,13 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   // normalized > 0, which is exactly raw > lo (clamp at lo maps to 0 and
   // the scale 1/(hi-lo+1e-6) is positive). Only the gathered slices are
   // ever normalized — the full-volume normalize pass is gone.
+  // flag = norm(rawmax) > 0, the python mirror's exact predicate — this
+  // keeps parity even in the sub-denormal edge where (v-lo)*inv
+  // underflows to 0 despite v > lo.
   std::vector<char> nz0(t0, 0), nz1(t1, 0), nz2(t2, 0);
-  for (int64_t x = 0; x < t0; ++x) nz0[x] = rawmax0[x] > lo;
-  for (int64_t y = 0; y < t1; ++y) nz1[y] = rawmax1[y] > lo;
-  for (int64_t z = 0; z < t2; ++z) nz2[z] = rawmax2[z] > lo;
+  for (int64_t x = 0; x < t0; ++x) nz0[x] = norm(rawmax0[x]) > 0.0f;
+  for (int64_t y = 0; y < t1; ++y) nz1[y] = norm(rawmax1[y]) > 0.0f;
+  for (int64_t z = 0; z < t2; ++z) nz2[z] = norm(rawmax2[z]) > 0.0f;
 
   float* dst = out;
   for (int a = 0; a < n_axes; ++a) {

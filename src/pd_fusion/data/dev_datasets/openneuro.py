@@ -134,7 +134,9 @@ def load_openneuro_dataset(accession: str) -> Tuple[pd.DataFrame, Dict[str, np.n
 
     # mri proxy block: NIfTI counts per BIDS subject dir
     for feat in MRI_FEATURES:
-        out[f"mri_{feat}_count"] = 0
+        # float so the later NaN masking is dtype-compatible (pandas 3
+        # raises on NaN-into-int64 setitem)
+        out[f"mri_{feat}_count"] = 0.0
     for i, sid in enumerate(out[ID_COL]):
         name = str(sid) if str(sid).startswith("sub-") else f"sub-{sid}"
         for feat, n in _scan_mri_counts(root / name).items():

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pd_fusion.imaging.nifti import read_nifti
-from pd_fusion.nn.resnet import resnet_apply
+from pd_fusion.nn.resnet import fold_bn_inference, resnet_apply, resnet_apply_folded
 from pd_fusion.ops.image import (
     affine2d_batch,
     percentile_normalize,
@@ -194,7 +194,7 @@ def embed_volume(
         [take_slices(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
     )
     batch = slices_to_imagenet_batch(slices, input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False)
+    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch)
     return emb if per_slice else jnp.mean(emb, axis=0)
 
 
@@ -232,7 +232,7 @@ def embed_volume_augmented(
     slices = slices * intensity_scale + intensity_shift
     slices = jnp.clip(slices + noise, 0.0, 1.0)
     batch = slices_to_imagenet_batch(slices, input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False)
+    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch)
     return emb if per_slice else jnp.mean(emb, axis=0)
 
 
@@ -267,7 +267,7 @@ def embed_raw_batch(backbone_params, raw, mean, std, arch: str, target_shape, ax
     slices = jax.vmap(prep)(raw)  # [B, L, h, w]
     B, L = slices.shape[:2]
     batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False).reshape(B, L, -1)
+    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch).reshape(B, L, -1)
     return emb if per_slice else jnp.mean(emb, axis=1)
 
 
@@ -289,7 +289,7 @@ def embed_raw_batch_augmented(backbone_params, raw, mean, std, angle, translate,
     aug = jax.vmap(affine2d_batch)(slices, angle, translate)
     aug = jnp.clip(aug * scale[:, None, None, None] + shift[:, None, None, None] + noise, 0.0, 1.0)
     batch = slices_to_imagenet_batch(aug.reshape(B * L, *aug.shape[2:]), input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False).reshape(B, L, -1)
+    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch).reshape(B, L, -1)
     return emb if per_slice else jnp.mean(emb, axis=1)
 
 
@@ -309,12 +309,12 @@ def embed_slices_batch(backbone_params, slices, mean, std, arch: str, input_size
         slices = jnp.stack(slices)
     B, L = slices.shape[:2]
     batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
+    # fold BN in f32 (rsqrt in bf16 would cost precision), then cast
+    folded = fold_bn_inference(backbone_params, arch)
     if compute_dtype == "bfloat16":
-        backbone_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), backbone_params
-        )
+        folded = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), folded)
         batch = batch.astype(jnp.bfloat16)
-    emb = resnet_apply(backbone_params, batch, arch, train=False)
+    emb = resnet_apply_folded(folded, batch, arch)
     emb = emb.astype(jnp.float32).reshape(B, L, -1)
     return emb if per_slice else jnp.mean(emb, axis=1)
 
@@ -331,7 +331,7 @@ def embed_slices_batch_augmented(backbone_params, slices, mean, std, angle, tran
     aug = jax.vmap(affine2d_batch)(slices, angle, translate)
     aug = jnp.clip(aug * scale[:, None, None, None] + shift[:, None, None, None] + noise, 0.0, 1.0)
     batch = slices_to_imagenet_batch(aug.reshape(B * L, *aug.shape[2:]), input_size, mean, std)
-    emb = resnet_apply(backbone_params, batch, arch, train=False).reshape(B, L, -1)
+    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch).reshape(B, L, -1)
     return emb if per_slice else jnp.mean(emb, axis=1)
 
 
@@ -509,6 +509,8 @@ def run_resnet_embedding_pipeline(
     # most log2(n/B) concat variants ever compile, not one per dataset
     # size.
     results: List[Optional[np.ndarray]] = [None] * n
+    if not flush_embs:
+        return results
     if len(flush_embs) > 1:
         P = 1 << (len(flush_embs) - 1).bit_length()
         padded = tuple(flush_embs) + (flush_embs[-1],) * (P - len(flush_embs))

@@ -13,42 +13,33 @@ import pytest
 import torch
 
 
-def test_fullbatch_trainer_matches_torch_adam_trajectory():
-    import jax
-
-    # 50 chained optimizer steps amplify the MXU's bf16-pass rounding into
-    # visible trajectory divergence; force full f32 for the equivalence check
-    jax.config.update("jax_default_matmul_precision", "highest")
-    try:
-        _check_adam_trajectory()
-    finally:
-        jax.config.update("jax_default_matmul_precision", None)
-
-
-def _check_adam_trajectory():
-    import jax
-    import jax.numpy as jnp
-
-    from pd_fusion.nn.trainer import train_fullbatch
-
+def _make_problem():
     rng = np.random.RandomState(0)
     n, d, h = 64, 5, 8
     X = rng.randn(n, d).astype(np.float32)
     y = rng.randint(0, 2, n).astype(np.float32)
-
     torch.manual_seed(0)
     net = torch.nn.Sequential(
         torch.nn.Linear(d, h), torch.nn.ReLU(), torch.nn.Linear(h, 1)
     )
-    # export torch's init into our params pytree
-    params = [
-        {"w": jnp.asarray(net[0].weight.detach().numpy().T),
-         "b": jnp.asarray(net[0].bias.detach().numpy())},
-        {"w": jnp.asarray(net[2].weight.detach().numpy().T),
-         "b": jnp.asarray(net[2].bias.detach().numpy())},
+    return X, y, net
+
+
+def _export_params(net):
+    import jax.numpy as jnp
+
+    # np.array COPIES: on the CPU backend jnp.asarray can zero-copy-alias
+    # a contiguous numpy view of a torch tensor, and torch's in-place
+    # opt.step() would then silently mutate the "frozen" JAX params
+    return [
+        {"w": jnp.asarray(np.array(net[0].weight.detach().numpy().T)),
+         "b": jnp.asarray(np.array(net[0].bias.detach().numpy()))},
+        {"w": jnp.asarray(np.array(net[2].weight.detach().numpy().T)),
+         "b": jnp.asarray(np.array(net[2].bias.detach().numpy()))},
     ]
 
-    epochs, lr = 50, 1e-2
+
+def _run_torch(net, X, y, epochs, lr):
     opt = torch.optim.Adam(net.parameters(), lr=lr)
     crit = torch.nn.BCEWithLogitsLoss()
     Xt, yt = torch.from_numpy(X), torch.from_numpy(y)
@@ -58,26 +49,89 @@ def _check_adam_trajectory():
         loss.backward()
         opt.step()
 
-    trained = train_fullbatch(
-        params, X, y, None, jax.random.PRNGKey(0), lr, epochs, 0.0, 0.0
-    )
 
-    # tolerance note: both sides are identical math in exact arithmetic
-    # (verified: wrong lr/eps/bias-correction diverge at the 1e-1 scale);
-    # the residual is fp32 reduction-order drift amplified over 50 chained
-    # Adam steps.
-    np.testing.assert_allclose(
-        np.asarray(trained[0]["w"]), net[0].weight.detach().numpy().T, atol=5e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(trained[1]["w"]), net[2].weight.detach().numpy().T, atol=5e-3
-    )
-    with torch.no_grad():
-        p_torch = torch.sigmoid(net(Xt).squeeze(1)).numpy()
-    from pd_fusion.nn.trainer import predict_proba_jit
+def test_fullbatch_trainer_matches_torch_adam_exact_steps():
+    """Semantics proof: after 1 and 2 full-batch Adam steps from identical
+    weights, our params equal torch's to near-fp32-ulp tolerance on ANY
+    backend. One/two steps don't amplify reduction-order differences, so
+    this is backend-stable — it pins the gradient (BCE-with-logits), Adam
+    bias correction, lr and eps exactly (a wrong lr/eps/bias-correction
+    diverges at the 1e-3..1e-1 scale even after one step)."""
+    import jax
 
-    p_jax = np.asarray(predict_proba_jit(trained, X))
-    np.testing.assert_allclose(p_jax, p_torch, atol=2e-3)
+    from pd_fusion.nn.trainer import train_fullbatch
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        X, y, _ = _make_problem()
+        lr = 1e-2
+        for steps in (1, 2):
+            torch.manual_seed(0)
+            net = torch.nn.Sequential(
+                torch.nn.Linear(X.shape[1], 8), torch.nn.ReLU(), torch.nn.Linear(8, 1)
+            )
+            params = _export_params(net)
+            _run_torch(net, X, y, steps, lr)
+            trained = train_fullbatch(
+                params, X, y, None, jax.random.PRNGKey(0), lr, steps, 0.0, 0.0
+            )
+            np.testing.assert_allclose(
+                np.asarray(trained[0]["w"]), net[0].weight.detach().numpy().T,
+                atol=5e-5, err_msg=f"layer0 after {steps} step(s)",
+            )
+            np.testing.assert_allclose(
+                np.asarray(trained[0]["b"]), net[0].bias.detach().numpy(),
+                atol=5e-5, err_msg=f"layer0 bias after {steps} step(s)",
+            )
+            np.testing.assert_allclose(
+                np.asarray(trained[1]["w"]), net[2].weight.detach().numpy().T,
+                atol=5e-5, err_msg=f"layer1 after {steps} step(s)",
+            )
+    finally:
+        jax.config.update("jax_default_matmul_precision", None)
+
+
+def test_fullbatch_trainer_torch_adam_trajectory_band():
+    """Trajectory band: 50 chained Adam steps amplify 1-ulp backend
+    rounding chaotically (observed max-abs weight drift 0.75 between CPU
+    and TPU backends running the SAME math), so exact equality over long
+    horizons proves bit-luck, not semantics. Instead assert both
+    optimizers reach an equally good solution: final training BCE within
+    a small absolute band and predictions close in the mean."""
+    import jax
+
+    from pd_fusion.nn.trainer import predict_proba_jit, train_fullbatch
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        X, y, net = _make_problem()
+        params = _export_params(net)
+        epochs, lr = 50, 1e-2
+        _run_torch(net, X, y, epochs, lr)
+        trained = train_fullbatch(
+            params, X, y, None, jax.random.PRNGKey(0), lr, epochs, 0.0, 0.0
+        )
+        with torch.no_grad():
+            p_torch = torch.sigmoid(net(torch.from_numpy(X)).squeeze(1)).numpy()
+        p_jax = np.asarray(predict_proba_jit(trained, X))
+
+        def bce(p):
+            p = np.clip(p, 1e-7, 1 - 1e-7)
+            return float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+
+        # band widths chosen from the observed cross-backend drift of the
+        # SAME program (CPU vs TPU: loss delta 0.04, pred MAE ~0.05) with
+        # 2x headroom; a semantic optimizer bug (wrong lr / eps / bias
+        # correction) shifts the 50-step loss by 0.3+.
+        assert abs(bce(p_jax) - bce(p_torch)) < 1e-1, (bce(p_jax), bce(p_torch))
+        assert float(np.mean(np.abs(p_jax - p_torch))) < 1e-1
+        # rank agreement: the two trajectories order the samples the same way
+        from scipy.stats import spearmanr
+
+        rho = spearmanr(p_jax, p_torch).statistic
+        assert rho > 0.9, rho
+    finally:
+        jax.config.update("jax_default_matmul_precision", None)
 
 
 def test_stacked_moe_equals_serial_experts():
