@@ -289,6 +289,86 @@ def bn_buffer_mask(params):
 
 
 # ---------------------------------------------------------------------------
+# inference-time BN folding
+# ---------------------------------------------------------------------------
+
+
+def _fold_pair(conv_p, bn_p):
+    """Algebraically exact fold of an inference BN into its conv:
+    (conv(x, w) - mean) * rsqrt(var+eps) * gamma + beta
+      == conv(x, w * s) + (beta - mean * s)   with s = gamma*rsqrt(var+eps).
+    Per-channel scale rides the HWIO output axis."""
+    s = bn_p["gamma"] * jax.lax.rsqrt(bn_p["var"] + 1e-5)
+    return {"w": conv_p["w"] * s[None, None, None, :], "b": bn_p["beta"] - bn_p["mean"] * s}
+
+
+def fold_bn_inference(params, arch: str = "resnet18"):
+    """Fold every BatchNorm's running stats + affine into the preceding
+    conv's weights, returning a bias-carrying conv-only pytree for
+    ``resnet_apply_folded``. Removes the per-activation scale/bias pass
+    from the inference path (HBM-bandwidth win on TPU: the BN math moves
+    from an O(N*H*W*C) activation sweep into an O(K*K*Cin*Cout) weight
+    transform done once per program)."""
+    cfg = _CONFIGS[arch]
+    n_convs = 2 if cfg["block"] == "basic" else 3
+    folded = {"conv1": _fold_pair(params["conv1"], params["bn1"])}
+    for li in range(4):
+        blocks = []
+        for block in params[f"layer{li + 1}"]:
+            fb = {
+                f"conv{ci}": _fold_pair(block[f"conv{ci}"], block[f"bn{ci}"])
+                for ci in range(1, n_convs + 1)
+            }
+            if "downsample" in block:
+                fb["downsample"] = _fold_pair(block["downsample"]["conv"], block["downsample"]["bn"])
+            blocks.append(fb)
+        folded[f"layer{li + 1}"] = blocks
+    return folded
+
+
+def _basic_block_folded(x, p, stride):
+    identity = x
+    out = jax.nn.relu(_conv(x, p["conv1"]["w"], stride=stride) + p["conv1"]["b"])
+    out = _conv(out, p["conv2"]["w"], stride=1) + p["conv2"]["b"]
+    if "downsample" in p:
+        identity = _conv(x, p["downsample"]["w"], stride=stride) + p["downsample"]["b"]
+    return jax.nn.relu(out + identity)
+
+
+def _bottleneck_block_folded(x, p, stride):
+    identity = x
+    out = jax.nn.relu(_conv(x, p["conv1"]["w"], stride=1) + p["conv1"]["b"])
+    out = jax.nn.relu(_conv(out, p["conv2"]["w"], stride=stride) + p["conv2"]["b"])
+    out = _conv(out, p["conv3"]["w"], stride=1) + p["conv3"]["b"]
+    if "downsample" in p:
+        identity = _conv(x, p["downsample"]["w"], stride=stride) + p["downsample"]["b"]
+    return jax.nn.relu(out + identity)
+
+
+def resnet_apply_folded(folded, x, arch: str = "resnet18"):
+    """Inference forward over a BN-folded pytree (``fold_bn_inference``):
+    equals ``resnet_apply(params, x, train=False)`` to f32 rounding,
+    with every BN collapsed into its conv. x: [N,H,W,3] -> [N, emb_dim]."""
+    cfg = _CONFIGS[arch]
+    block_fn = _basic_block_folded if cfg["block"] == "basic" else _bottleneck_block_folded
+    out = _conv(x, folded["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
+    out = jax.nn.relu(out + folded["conv1"]["b"])
+    out = jax.lax.reduce_window(
+        out,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for li in range(4):
+        for bi, block in enumerate(folded[f"layer{li + 1}"]):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out = block_fn(out, block, stride)
+    return jnp.mean(out, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
 # torchvision weight conversion
 # ---------------------------------------------------------------------------
 

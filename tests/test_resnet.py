@@ -63,3 +63,38 @@ def test_resnet_shapes_and_determinism():
     assert out.shape == (1, emb_dim("resnet18"))
     params2 = init_resnet(jax.random.PRNGKey(0), "resnet18")
     np.testing.assert_allclose(out, np.asarray(resnet_apply(params2, x, "resnet18")))
+
+
+def test_bn_folding_equals_unfolded_inference():
+    """fold_bn_inference + resnet_apply_folded == resnet_apply(train=False)
+    to f32 rounding, on a backbone with non-trivial running stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pd_fusion.nn.resnet import (
+        fold_bn_inference,
+        init_resnet,
+        resnet_apply,
+        resnet_apply_folded,
+    )
+
+    params = init_resnet(jax.random.PRNGKey(3), "resnet18")
+
+    # randomize BN stats/affine so the fold is exercised (init has
+    # mean=0/var=1/gamma=1/beta=0 which would fold to identity)
+    def spice(path, leaf):
+        key = getattr(path[-1], "key", None)
+        if key in ("mean", "beta"):
+            return leaf + 0.1 * np.random.RandomState(len(path)).randn(*leaf.shape).astype(np.float32)
+        if key in ("var", "gamma"):
+            return leaf * (1.0 + 0.2 * np.random.RandomState(len(path) + 7).rand(*leaf.shape).astype(np.float32))
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(spice, params)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+
+    ref = np.asarray(jax.jit(lambda p, v: resnet_apply(p, v, "resnet18", train=False))(params, x))
+    folded = fold_bn_inference(params, "resnet18")
+    got = np.asarray(jax.jit(lambda p, v: resnet_apply_folded(p, v, "resnet18"))(folded, x))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
