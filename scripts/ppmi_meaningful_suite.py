@@ -1,31 +1,43 @@
 #!/usr/bin/env python
-"""PPMI "meaningful baselines" suite (reference: scripts/
-ppmi_meaningful_suite.py): six regex-defined feature settings
-(full_clinical / no_motor_exam / non_motor_only / datsbr_only /
-freesurfer_only / fusion union) x {logreg, lgbm-fallback} x 5-fold CV,
-with kept/dropped-columns JSON, per-fold metrics, top-20 feature
-importances, univariate AUC screening, a label-permutation sanity test,
-and the ROC-AUC bar plot.
+"""PPMI "meaningful baselines" suite.
 
-TPU-native difference: univariate AUC screening runs as ONE device
-program over the whole feature matrix (lax.map of the tie-aware sort AUC
-over columns) instead of a per-column sklearn loop; the fold metrics use
-the fused XLA reduction.
+Behavioral spec (reference scripts/ppmi_meaningful_suite.py): six
+regex-defined feature settings (full_clinical / no_motor_exam /
+non_motor_only / datsbr_only / freesurfer_only / fusion union) x
+{logreg, lgbm-fallback} x 5-fold stratified CV, writing
+kept_dropped_columns.json, per_fold_metrics.csv, summary_mean.csv,
+top-20 feature_importance.csv, univariate_top.csv, permutation_test.csv
+and the ROC-AUC bar plot. The regex tables below ARE that spec.
+
+TPU-native build: every screening computation is a fused device program
+from pd_fusion.analysis.tabular — univariate AUCs as one lax.map over
+the column matrix, the permutation test as one vmapped linear-probe
+training over all repeats — and fold metrics use the fused XLA metric
+reduction. Only the per-fold sklearn classifier fits stay on host.
 """
 import argparse
 import datetime
 import json
-import logging
 import os
-import re
 import sys
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
 
 import numpy as np
 import pandas as pd
+
+from pd_fusion.analysis.tabular import (
+    balanced_logreg,
+    boosted_tree,
+    grep_columns,
+    numeric_feature_columns,
+    permutation_screen,
+    rank_univariate_auc,
+    suite_logger,
+    TabularPrep,
+)
 
 ID_COLS = {"subject_id", "visit_id", "visit_month", "date"}
 GLOBAL_EXCLUDE_REGEX = [
@@ -67,267 +79,174 @@ SETTINGS = {
 MODELS = ["logreg", "lgbm"]
 
 
-def setup_logging(out_dir: Path) -> logging.Logger:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger = logging.getLogger("ppmi_suite")
-    logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s")
-        for handler in (logging.StreamHandler(), logging.FileHandler(out_dir / "ppmi_meaningful_suite.log")):
-            handler.setFormatter(fmt)
-            logger.addHandler(handler)
-    return logger
+def resolve_settings(df: pd.DataFrame) -> Dict[str, List[str]]:
+    """Materialize every setting's column list in one pass. The union
+    setting draws from already-resolved sources, so resolution order
+    follows the table order (sources precede their union)."""
+    base = numeric_feature_columns(df, GLOBAL_EXCLUDE_REGEX, ID_COLS)
+    resolved: Dict[str, List[str]] = {}
+    for name, spec in SETTINGS.items():
+        kind = spec["type"]
+        if kind == "all_numeric":
+            resolved[name] = base
+        elif kind == "drop_regex":
+            resolved[name] = grep_columns(base, deny=spec["drop_regex"])
+        elif kind == "allow_regex":
+            resolved[name] = grep_columns(base, allow=spec["allow_regex"])
+        elif kind == "union":
+            merged = {c for src in spec["sources"] for c in resolved[src]}
+            resolved[name] = sorted(merged)
+        else:
+            resolved[name] = []
+    return resolved
 
 
-def select_numeric(df, cols):
-    if not cols:
-        return pd.DataFrame(index=df.index)
-    return df.loc[:, cols].apply(pd.to_numeric, errors="coerce")
+def extract_importance(clf, model_name: str):
+    """|coef| for linear probes, native importances for trees."""
+    if model_name == "logreg" and hasattr(clf, "coef_"):
+        return np.abs(np.ravel(clf.coef_))
+    if hasattr(clf, "feature_importances_"):
+        return np.asarray(clf.feature_importances_, float)
+    return None
 
 
-def get_all_numeric_features(df: pd.DataFrame) -> List[str]:
-    cols = [
-        c for c in df.columns
-        if c not in ID_COLS and c != "label"
-        and not any(re.search(p, c, re.IGNORECASE) for p in GLOBAL_EXCLUDE_REGEX)
+def summarize_folds(per_fold_df: pd.DataFrame) -> pd.DataFrame:
+    """Mean/std per (setting, model) with flattened column names plus a
+    fold_count column."""
+    agg = per_fold_df.groupby(["setting", "model"]).agg(["mean", "std"]).reset_index()
+    agg.columns = [
+        "_".join(filter(None, c)) if isinstance(c, tuple) else c for c in agg.columns
     ]
-    num_df = select_numeric(df, cols)
-    return [c for c in num_df.columns if num_df[c].notna().any()]
+    sizes = per_fold_df.groupby(["setting", "model"]).size().reset_index(name="fold_count")
+    return agg.merge(sizes, on=["setting", "model"], how="left")
 
 
-def apply_setting(df: pd.DataFrame, setting: str, cache: Dict[str, List[str]]) -> List[str]:
-    if setting in cache:
-        return cache[setting]
-    spec = SETTINGS[setting]
-    if spec["type"] == "all_numeric":
-        cols = get_all_numeric_features(df)
-    elif spec["type"] == "drop_regex":
-        cols = get_all_numeric_features(df)
-        for pattern in spec["drop_regex"]:
-            cols = [c for c in cols if not re.search(pattern, c, re.IGNORECASE)]
-    elif spec["type"] == "allow_regex":
-        cols = [
-            c for c in get_all_numeric_features(df)
-            if any(re.search(p, c, re.IGNORECASE) for p in spec["allow_regex"])
-        ]
-    elif spec["type"] == "union":
-        cols = sorted({c for src in spec["sources"] for c in apply_setting(df, src, cache)})
-    else:
-        cols = []
-    cache[setting] = cols
-    return cols
-
-
-def prepare_matrices(df, feature_cols, scale: bool, add_missing_indicators: bool):
-    from sklearn.impute import SimpleImputer
-    from sklearn.preprocessing import StandardScaler
-
-    X = select_numeric(df, feature_cols)
-    imputer = SimpleImputer(strategy="median", add_indicator=add_missing_indicators)
-    X_imp = imputer.fit_transform(X)
-    feature_names = list(feature_cols)
-    if imputer.indicator_ is not None:
-        for idx in imputer.indicator_.features_:
-            feature_names.append(f"{feature_cols[idx]}_missing")
-    scaler = None
-    if scale:
-        scaler = StandardScaler()
-        X_imp = scaler.fit_transform(X_imp)
-    return X_imp, imputer, scaler, feature_names
-
-
-def transform_matrix(df, feature_cols, imputer, scaler):
-    X_imp = imputer.transform(select_numeric(df, feature_cols))
-    return scaler.transform(X_imp) if scaler is not None else X_imp
-
-
-def get_lgbm(seed: int, num_threads: int, logger):
+def bar_plot(summary: pd.DataFrame, out_path: Path, title: str, logger) -> None:
     try:
-        from lightgbm import LGBMClassifier  # pragma: no cover
+        import matplotlib
 
-        return LGBMClassifier(
-            n_estimators=300, learning_rate=0.05, num_leaves=31, subsample=0.9,
-            colsample_bytree=0.9, num_threads=num_threads, force_col_wise=True,
-            random_state=seed, class_weight="balanced",
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        best = (
+            summary.sort_values("roc_auc_mean", ascending=False)
+            .groupby("setting", as_index=False)
+            .first()
         )
-    except Exception as exc:
-        logger.warning("LightGBM not available (%s); falling back to HistGradientBoosting", exc)
-        from sklearn.ensemble import HistGradientBoostingClassifier
-
-        return HistGradientBoostingClassifier(random_state=seed)
-
-
-def compute_univariate_auc(df, y, feature_cols, top_k: int = 20):
-    """One device program: lax.map of the sort-based AUC over columns."""
-    import jax
-    import jax.numpy as jnp
-
-    from pd_fusion.ops.metrics import roc_auc
-
-    X = select_numeric(df, feature_cols)
-    X_filled = X.fillna(X.median()).to_numpy(np.float32)
-    valid = [i for i in range(X_filled.shape[1]) if np.isfinite(X_filled[:, i]).all()]
-    if not valid:
-        return []
-    cols_mat = jnp.asarray(X_filled[:, valid].T)  # [F, N]
-    y_arr = jnp.asarray(np.asarray(y, np.float32))
-    aucs = jax.jit(lambda m: jax.lax.map(lambda col: roc_auc(y_arr, col), m))(cols_mat)
-    aucs = np.asarray(aucs)
-    scores = [(feature_cols[valid[i]], float(aucs[i])) for i in range(len(valid))]
-    return sorted(scores, key=lambda t: abs(t[1] - 0.5), reverse=True)[:top_k]
-
-
-def permutation_test(df, feature_cols, num_threads: int, repeats: int = 5):
-    from sklearn.linear_model import LogisticRegression
-    from sklearn.metrics import roc_auc_score
-    from sklearn.model_selection import train_test_split
-
-    X = select_numeric(df, feature_cols).fillna(0)
-    y = df["label"].values
-    results = []
-    for i in range(repeats):
-        y_perm = np.random.permutation(y)
-        X_train, X_test, y_train, y_test = train_test_split(
-            X, y_perm, test_size=0.2, random_state=42 + i, stratify=y_perm
-        )
-        clf = LogisticRegression(max_iter=2000, class_weight="balanced")
-        clf.fit(X_train, y_train)
-        auc = roc_auc_score(y_test, clf.predict_proba(X_test)[:, 1])
-        results.append({"repeat": i + 1, "roc_auc": auc})
-    return results
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax.bar(best["setting"], best["roc_auc_mean"], yerr=best["roc_auc_std"], capsize=4)
+        ax.set(ylabel="ROC-AUC", title=title, ylim=(0, 1.0))
+        plt.xticks(rotation=30, ha="right")
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=200)
+        plt.close(fig)
+    except Exception as exc:  # pragma: no cover - headless matplotlib is in-image
+        logger.warning("plot skipped: %s", exc)
 
 
 def run_suite(df, out_dir: Path, seed=42, num_threads=2, limit=None,
               no_plot=False, no_missing_indicators=False, logger=None):
-    from sklearn.linear_model import LogisticRegression
     from sklearn.model_selection import StratifiedKFold
 
     from pd_fusion.utils.metrics import compute_metrics
 
-    logger = logger or setup_logging(out_dir)
+    out_dir = Path(out_dir)
+    logger = logger or suite_logger("ppmi_suite", out_dir, "ppmi_meaningful_suite.log")
     df = df.dropna(subset=["label"]).copy()
     logger.info("Label prevalence (positive class=1): %.4f", float(df["label"].mean()))
     if limit:
         df = df.sample(n=min(limit, len(df)), random_state=seed)
+    labels = df["label"].values
 
-    cache: Dict[str, List[str]] = {}
-    kept_dropped = {}
-    for setting in SETTINGS:
-        cols = apply_setting(df, setting, cache)
-        dropped = [] if setting == "full_clinical" else [
-            c for c in cache["full_clinical"] if c not in cols
-        ]
-        kept_dropped[setting] = {"kept": cols, "dropped": dropped}
-    (out_dir / "kept_dropped_columns.json").write_text(json.dumps(kept_dropped, indent=2))
+    columns_by_setting = resolve_settings(df)
+    full_set = columns_by_setting["full_clinical"]
+    (out_dir / "kept_dropped_columns.json").write_text(json.dumps(
+        {
+            name: {
+                "kept": cols,
+                "dropped": [] if name == "full_clinical"
+                else [c for c in full_set if c not in cols],
+            }
+            for name, cols in columns_by_setting.items()
+        },
+        indent=2,
+    ))
 
-    skf = StratifiedKFold(n_splits=5, shuffle=True, random_state=seed)
-    per_fold_rows, feature_rows, univariate_rows = [], [], []
+    folds = list(
+        StratifiedKFold(n_splits=5, shuffle=True, random_state=seed).split(df, labels)
+    )
+    fold_rows: List[dict] = []
+    importance_rows: List[dict] = []
+    screening_rows: List[dict] = []
 
-    for setting in SETTINGS:
-        feature_cols = kept_dropped[setting]["kept"]
+    for setting, feature_cols in columns_by_setting.items():
         if not feature_cols:
-            logger.warning("No features for setting %s", setting)
+            logger.warning("setting %s resolved to zero features", setting)
             continue
 
-        for feat, auc in compute_univariate_auc(df, df["label"].values, feature_cols):
-            univariate_rows.append({"setting": setting, "feature": feat, "auc": auc})
+        screening_rows.extend(
+            {"setting": setting, "feature": feat, "auc": auc}
+            for feat, auc in rank_univariate_auc(df, labels, feature_cols)
+        )
 
-        for fold, (train_idx, test_idx) in enumerate(skf.split(df, df["label"].values), start=1):
-            train_df, test_df = df.iloc[train_idx], df.iloc[test_idx]
-            y_train, y_test = train_df["label"].values, test_df["label"].values
-
-            X_train, imputer, scaler, feat_names = prepare_matrices(
-                train_df, feature_cols, scale=True,
-                add_missing_indicators=not no_missing_indicators,
-            )
-            X_test = transform_matrix(test_df, feature_cols, imputer, scaler)
+        for fold, (tr, te) in enumerate(folds, start=1):
+            train_df, test_df = df.iloc[tr], df.iloc[te]
+            prep = TabularPrep(scale=True, add_indicators=not no_missing_indicators)
+            X_train = prep.fit_transform(train_df, feature_cols)
+            X_test = prep.transform(test_df)
+            y_test = test_df["label"].values
 
             for model_name in MODELS:
-                if model_name == "logreg":
-                    clf = LogisticRegression(max_iter=2000, class_weight="balanced")
-                else:
-                    clf = get_lgbm(seed + fold, num_threads, logger)
-                clf.fit(X_train, y_train)
-                y_prob = (
+                clf = (
+                    balanced_logreg() if model_name == "logreg"
+                    else boosted_tree(seed + fold, num_threads, logger)
+                )
+                clf.fit(X_train, train_df["label"].values)
+                prob = (
                     clf.predict_proba(X_test)[:, 1]
-                    if hasattr(clf, "predict_proba")
-                    else clf.predict(X_test)
+                    if hasattr(clf, "predict_proba") else clf.predict(X_test)
                 )
-                per_fold_rows.append(
-                    {"setting": setting, "model": model_name, "fold": fold,
-                     "prevalence": float(np.mean(y_test)), **compute_metrics(y_test, y_prob)}
-                )
-
-                if model_name == "logreg" and hasattr(clf, "coef_"):
-                    imp = np.abs(clf.coef_.reshape(-1))
-                elif hasattr(clf, "feature_importances_"):
-                    imp = clf.feature_importances_.astype(float)
-                else:
-                    imp = None
+                fold_rows.append({
+                    "setting": setting, "model": model_name, "fold": fold,
+                    "prevalence": float(np.mean(y_test)),
+                    **compute_metrics(y_test, prob),
+                })
+                imp = extract_importance(clf, model_name)
                 if imp is not None:
-                    for name, val in zip(feat_names, imp):
-                        feature_rows.append(
-                            {"setting": setting, "model": model_name, "fold": fold,
-                             "feature": name, "importance": float(val)}
-                        )
+                    importance_rows.extend(
+                        {"setting": setting, "model": model_name, "fold": fold,
+                         "feature": nm, "importance": float(v)}
+                        for nm, v in zip(prep.feature_names, imp)
+                    )
 
-    per_fold_df = pd.DataFrame(per_fold_rows)
+    per_fold_df = pd.DataFrame(fold_rows)
     per_fold_df.to_csv(out_dir / "per_fold_metrics.csv", index=False)
-
-    summary = per_fold_df.groupby(["setting", "model"]).agg(["mean", "std"]).reset_index()
-    summary.columns = [
-        "_".join([c for c in col if c]) if isinstance(col, tuple) else col
-        for col in summary.columns
-    ]
-    counts = per_fold_df.groupby(["setting", "model"]).size().reset_index(name="fold_count")
-    summary = summary.merge(counts, on=["setting", "model"], how="left")
+    summary = summarize_folds(per_fold_df)
     summary.to_csv(out_dir / "summary_mean.csv", index=False)
 
-    feat_df = pd.DataFrame(feature_rows)
-    if not feat_df.empty:
-        feat_summary = (
-            feat_df.groupby(["setting", "model", "feature"])["importance"].mean().reset_index()
-        )
-        feat_summary = feat_summary.sort_values(
-            ["setting", "model", "importance"], ascending=[True, True, False]
-        )
-        feat_summary.groupby(["setting", "model"]).head(20).to_csv(
-            out_dir / "feature_importance.csv", index=False
-        )
+    imp_df = pd.DataFrame(importance_rows)
+    if not imp_df.empty:
+        (
+            imp_df.groupby(["setting", "model", "feature"])["importance"].mean()
+            .reset_index()
+            .sort_values(["setting", "model", "importance"], ascending=[True, True, False])
+            .groupby(["setting", "model"]).head(20)
+        ).to_csv(out_dir / "feature_importance.csv", index=False)
 
-    pd.DataFrame(univariate_rows).to_csv(out_dir / "univariate_top.csv", index=False)
+    pd.DataFrame(screening_rows).to_csv(out_dir / "univariate_top.csv", index=False)
 
-    perm_rows = []
-    for setting in ("full_clinical", "fusion_nonmotor_imaging"):
-        cols = kept_dropped[setting]["kept"]
-        if cols:
-            for row in permutation_test(df, cols, num_threads, repeats=5):
-                perm_rows.append({**row, "setting": setting})
+    perm_rows = [
+        {**row, "setting": setting}
+        for setting in ("full_clinical", "fusion_nonmotor_imaging")
+        if columns_by_setting.get(setting)
+        for row in permutation_screen(df, columns_by_setting[setting], repeats=5)
+    ]
     pd.DataFrame(perm_rows).to_csv(out_dir / "permutation_test.csv", index=False)
 
     if not no_plot:
-        try:
-            import matplotlib
+        bar_plot(summary, out_dir / "roc_auc_bar.png", "PPMI meaningful baselines", logger)
 
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            plot_df = summary.sort_values("roc_auc_mean", ascending=False)
-            best_df = plot_df.groupby("setting", as_index=False).first()
-            fig, ax = plt.subplots(figsize=(10, 5))
-            ax.bar(best_df["setting"], best_df["roc_auc_mean"],
-                   yerr=best_df["roc_auc_std"], capsize=4)
-            ax.set_ylabel("ROC-AUC")
-            ax.set_title("PPMI meaningful baselines")
-            ax.set_ylim(0, 1.0)
-            plt.xticks(rotation=30, ha="right")
-            fig.tight_layout()
-            fig.savefig(out_dir / "roc_auc_bar.png", dpi=200)
-            plt.close(fig)
-        except Exception as exc:  # pragma: no cover
-            logger.warning("Plot generation failed: %s", exc)
-
-    logger.info("Saved summary to %s", out_dir / "summary_mean.csv")
+    logger.info("summary written: %s", out_dir / "summary_mean.csv")
     return per_fold_df
 
 
@@ -342,9 +261,9 @@ def main():
     parser.add_argument("--no-missing-indicators", action="store_true")
     args = parser.parse_args()
 
-    timestamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
-    out_dir = Path(args.output_dir or f"runs/ppmi_meaningful_suite_{timestamp}")
-    logger = setup_logging(out_dir)
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    out_dir = Path(args.output_dir or f"runs/ppmi_meaningful_suite_{stamp}")
+    logger = suite_logger("ppmi_suite", out_dir, "ppmi_meaningful_suite.log")
     for var in ("OMP_NUM_THREADS", "MKL_NUM_THREADS", "OPENBLAS_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ[var] = str(args.num_threads)
     mpl_cache = out_dir / "mpl_cache"

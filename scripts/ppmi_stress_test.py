@@ -14,7 +14,6 @@ import argparse
 import datetime
 import logging
 import os
-import re
 import sys
 from functools import partial
 from pathlib import Path
@@ -24,6 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
 
 import numpy as np
 import pandas as pd
+
+from pd_fusion.analysis.tabular import coerce_numeric, grep_columns, suite_logger
 
 ID_COLS = {"subject_id", "visit_id", "visit_month", "date"}
 GLOBAL_EXCLUDE = [
@@ -44,29 +45,18 @@ MRI_PATTERNS = [
 
 
 def setup_logging(out_dir: Path) -> logging.Logger:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger = logging.getLogger("ppmi_stress")
-    logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s")
-        for handler in (logging.StreamHandler(), logging.FileHandler(out_dir / "ppmi_stress_test.log")):
-            handler.setFormatter(fmt)
-            logger.addHandler(handler)
-    return logger
+    return suite_logger("ppmi_stress", out_dir, "ppmi_stress_test.log")
 
 
 def filter_cols(cols, patterns):
-    return [c for c in cols if any(re.search(p, c, re.IGNORECASE) for p in patterns)]
+    return grep_columns(cols, allow=patterns)
 
 
 def exclude_cols(cols, patterns):
-    return [c for c in cols if not any(re.search(p, c, re.IGNORECASE) for p in patterns)]
+    return grep_columns(cols, deny=patterns)
 
 
-def select_numeric(df, cols):
-    if not cols:
-        return pd.DataFrame(index=df.index)
-    return df.loc[:, cols].apply(pd.to_numeric, errors="coerce")
+select_numeric = coerce_numeric
 
 
 def build_groups(df: pd.DataFrame) -> Dict[str, List[str]]:

@@ -30,6 +30,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
 import numpy as np
 import pandas as pd
 
+from pd_fusion.analysis.tabular import suite_logger
+
 DEFAULT_MODELS = ["logreg", "lgbm", "mlp"]
 DEFAULT_ABLATIONS = [
     {"name": "clinical_only", "groups": ["clinical"]},
@@ -42,15 +44,7 @@ DEFAULT_ABLATIONS = [
 
 
 def setup_logging(out_dir: Path) -> logging.Logger:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger = logging.getLogger("ppmi_train")
-    logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s")
-        for handler in (logging.StreamHandler(), logging.FileHandler(out_dir / "ppmi_train_tabular.log")):
-            handler.setFormatter(fmt)
-            logger.addHandler(handler)
-    return logger
+    return suite_logger("ppmi_train", out_dir, "ppmi_train_tabular.log")
 
 
 def build_preprocessor(scale: bool, numeric_cols, cat_cols, num_threads: int):
