@@ -53,7 +53,12 @@ class MilAttentionModel(BaseModel):
         return 1.0
 
     def train(self, bags, y, val_data=None):
-        real = [np.asarray(b, np.float32) for b in bags if b is not None]
+        # drop missing bags together with their labels (the reference
+        # would crash on a None bag, :54-63; silently dropping only the
+        # bag would misalign labels)
+        kept = [i for i, b in enumerate(bags) if b is not None]
+        real = [np.asarray(bags[i], np.float32) for i in kept]
+        y = np.asarray(y, np.float32)[kept]
         lens = [b.shape[0] for b in real]
         if self.max_len is None:
             self.max_len = _round_up(max(lens))

@@ -90,23 +90,12 @@ def _mil_loss(params, x, mask, y, w, pos_weight, gated, dropout, key):
     return jnp.sum(bce * clsw * w) / jnp.maximum(jnp.sum(w), 1e-38)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "epochs",
-        "batch_size",
-        "gated",
-        "dropout",
-        "weight_decay",
-        "use_clip",
-        "track_best",
-    ),
-)
-def train_mil(
+def train_mil_impl(
     params,
     X,  # [N, L, D] padded bags
     bag_mask,  # [N, L]
     y,  # [N]
+    w_row,  # [N] per-row validity (0 for fold-padding rows)
     Xv,
     bag_mask_v,
     yv,
@@ -123,8 +112,13 @@ def train_mil(
     use_clip: bool,
     track_best: bool,
 ):
-    """All epochs in one scan; returns the val-AUC-best params when
-    track_best (early-stopping-with-restore semantics) else final."""
+    """Unjitted MIL trainer body — vmappable over a leading fold axis by
+    the parallel CV engine; all epochs in one scan. Returns the
+    val-AUC-best params when track_best (early-stopping-with-restore
+    semantics) else final. ``w_row`` marks real rows (1) vs rows added by
+    cross-fold padding (0, exact no-ops in the weighted loss); with
+    w_row all-ones the training trajectory is identical to the
+    pre-refactor single-fold program."""
     n = X.shape[0]
     n_batches = -(-n // batch_size)
     pad = n_batches * batch_size - n
@@ -146,6 +140,7 @@ def train_mil(
         wpad = jnp.concatenate(
             [jnp.ones((n,), X.dtype), jnp.zeros((pad,), X.dtype)]
         ).reshape(n_batches, batch_size)
+        wpad = wpad * w_row[idx]
         bkeys = jax.random.split(ek, n_batches)
 
         def batch_step(c, inp):
@@ -173,6 +168,31 @@ def train_mil(
     init = (params, opt_state, jnp.float32(-1.0), params)
     (final_p, _, _, best_p), _ = jax.lax.scan(epoch_step, init, ekeys)
     return best_p if track_best else final_p
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "epochs",
+        "batch_size",
+        "gated",
+        "dropout",
+        "weight_decay",
+        "use_clip",
+        "track_best",
+    ),
+)
+def train_mil(
+    params, X, bag_mask, y, Xv, bag_mask_v, yv, wv, key, lr, pos_weight,
+    max_grad_norm, epochs: int, batch_size: int, gated: bool, dropout: float,
+    weight_decay: float, use_clip: bool, track_best: bool,
+):
+    """Jitted single-model wrapper (all rows real)."""
+    return train_mil_impl(
+        params, X, bag_mask, y, jnp.ones((X.shape[0],), X.dtype), Xv, bag_mask_v,
+        yv, wv, key, lr, pos_weight, max_grad_norm, epochs, batch_size, gated,
+        dropout, weight_decay, use_clip, track_best,
+    )
 
 
 @partial(jax.jit, static_argnames=("gated",))

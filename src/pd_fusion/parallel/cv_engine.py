@@ -51,7 +51,9 @@ from pd_fusion.nn.mlp import mlp_apply
 from pd_fusion.ops import metrics as dev_metrics
 from pd_fusion.utils.seed import fresh_key
 
-PARALLEL_CV_FAMILIES = {"fusion_late", "fusion_masked", "fusion_moddrop", "unimodal_mlp", "moe"}
+PARALLEL_CV_FAMILIES = {
+    "fusion_late", "fusion_masked", "fusion_moddrop", "unimodal_mlp", "moe", "mil_attention",
+}
 
 logger = logging.getLogger("pd_fusion")
 
@@ -193,6 +195,74 @@ def _cv_program_moddrop(params_stack, X, y, w, assign, keys, Xs, yv, wv, lr, epo
     return _packed_mlp_eval(trained, Xs, yv, wv)
 
 
+# Calibrated CV: the sequential path trains per fold, fits isotonic on a
+# calibration set, then evaluates each scenario through the calibrator
+# (training/train.py::_maybe_calibrate, reference calibrate.py:7-56,
+# run_experiment.py:367-380). Parallel equivalent in TWO dispatches:
+#   1. train all folds + raw probs on all scenarios AND the calibration
+#      sets, packed into one buffer (one fetch);
+#   2. host fits K tiny isotonic maps (sklearn PAV) and transforms the
+#      scenario probs;
+#   3. a second device program computes all K x S metric sets from the
+#      CALIBRATED probs (one dispatch + one fetch).
+
+
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def _cv_program_fullbatch_probs(params_stack, X, y, w, keys, Xs, Xc, lr, epochs,
+                                dropout, weight_decay):
+    trained = _fullbatch_vmapped(params_stack, X, y, w, keys, lr, epochs, dropout, weight_decay)
+    return _probs_with_calib(trained, Xs, Xc)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
+)
+def _cv_program_moddrop_probs(params_stack, X, y, w, assign, keys, Xs, Xc, lr, epochs,
+                              batch_size, dropout, weight_decay, moddrop_rate, per_sample):
+    trained = _moddrop_vmapped(
+        params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout,
+        weight_decay, moddrop_rate, per_sample,
+    )
+    return _probs_with_calib(trained, Xs, Xc)
+
+
+def _probs_with_calib(trained, Xs, Xc):
+    """[K, S*Nv + Nc] buffer: scenario probs then calibration-set probs."""
+    probs_scen = jax.vmap(
+        lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
+    )(trained, Xs)
+    probs_cal = jax.vmap(lambda p, x: jax.nn.sigmoid(mlp_apply(p, x)))(trained, Xc)
+    K = probs_scen.shape[0]
+    return jnp.concatenate([probs_scen.reshape(K, -1), probs_cal], axis=1)
+
+
+@jax.jit
+def _metrics_from_probs_packed(probs, yv, wv):
+    """All K x S metric sets from (host-calibrated) probs, packed with the
+    probs into one fetchable buffer."""
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(yv, probs, wv)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+_eval_probs_with_calib = jax.jit(_probs_with_calib)
+
+
+def _fit_isotonic_per_fold(cal_probs, cal_y, n_cal):
+    """K host isotonic fits (tiny: sklearn PAV on the calibration probs,
+    same as CalibratedModel.fit)."""
+    from sklearn.isotonic import IsotonicRegression
+
+    calibrators = []
+    for i in range(len(n_cal)):
+        iso = IsotonicRegression(out_of_bounds="clip")
+        iso.fit(cal_probs[i, : n_cal[i]], cal_y[i][: n_cal[i]])
+        calibrators.append(iso)
+    return calibrators
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
@@ -255,8 +325,8 @@ def _shard_cv_inputs(mesh, params_stack, X, y, w, keys):
 def supports_parallel_cv(config) -> bool:
     if config.get("parallel_cv", True) is False:
         return False
-    if config.get("calibrate", False) or config.get("nested_calibration", False):
-        return False  # calibration needs the sequential per-fold wrap
+    if config.get("calibrate", False) and config.get("model_type") == "moe":
+        return False  # calibrated MoE keeps the sequential per-fold wrap
     return config.get("model_type") in PARALLEL_CV_FAMILIES
 
 
@@ -284,6 +354,32 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
     group_col = eval_config.get("group_col")
     K = len(folds)
 
+    # ---- calibration plumbing (isotonic, reference calibrate.py:7-56) ----
+    do_calibrate = bool(config.get("calibrate", False)) and model_type != "moe"
+    nested = do_calibrate and bool(config.get("nested_calibration", False))
+    calib_dfs: List = [None] * K
+    if nested:
+        if fold_masks is not None:
+            raise ValueError("nested calibration is not supported with explicit fold_masks")
+        from pd_fusion.data.splits import split_train_calibration
+
+        seed = config.get("seed", 42)
+        calib_size = float(config.get("calibration_split", 0.2))
+        new_folds, calib_dfs = [], []
+        for train_df, val_df in folds:
+            reduced, calib_df = split_train_calibration(
+                train_df, calib_size=calib_size, seed=seed, group_col=group_col
+            )
+            new_folds.append((reduced, val_df))
+            calib_dfs.append(calib_df)
+        folds = new_folds
+
+    if model_type == "mil_attention":
+        return _run_parallel_cv_mil(
+            config, folds, masks, scenarios, group_col, calib_dfs, do_calibrate,
+            nested, fold_masks, fold_keys,
+        )
+
     # ---- per-fold host prep (scaler fits; tiny) --------------------------
     all_features = get_all_feature_cols(folds[0][0])
     modality = config.get("modality", "clinical")
@@ -299,6 +395,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
     Xtr_list, ytr_list, Xva_scen_list, yva_list, scalers = [], [], [], [], []
     val_mask_rows = []  # per fold per scenario mask matrices (for masked fusion)
     moe_fold_data = []
+    Xcal_list, ycal_list = [], []  # calibration-set inputs (do_calibrate only)
 
     for fi, (train_df, val_df) in enumerate(folds):
         if fold_masks is not None:
@@ -333,6 +430,27 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
 
         Xtr_list.append(X_tr.astype(np.float32))
         ytr_list.append(train_df[TARGET_COL].values.astype(np.float32))
+
+        if do_calibrate:
+            # calibration input mirrors the sequential path's
+            # calibrate_X_val: the RAW preprocessed matrix (no scenario
+            # zeroing), natural-mask concat for masked fusion; nested
+            # uses the carved calib split, else the val fold itself
+            if nested:
+                calib_df = calib_dfs[fi]
+                X_cal, _, _ = preprocess_features(calib_df, feat_cols, None, scaler)
+                if model_type == "fusion_masked":
+                    calib_masks = get_subset_masks(masks, calib_df.index)
+                    cal_mm = get_modality_mask_matrix(calib_masks).astype(np.float32)
+                    X_cal = np.concatenate([X_cal, cal_mm], axis=1)
+                ycal_list.append(calib_df[TARGET_COL].values.astype(np.float32))
+            else:
+                X_cal = X_va_raw
+                if model_type == "fusion_masked":
+                    val_mm_nat = get_modality_mask_matrix(val_masks).astype(np.float32)
+                    X_cal = np.concatenate([X_cal, val_mm_nat], axis=1)
+                ycal_list.append(val_df[TARGET_COL].values.astype(np.float32))
+            Xcal_list.append(X_cal.astype(np.float32))
 
         # scenario-transformed eval inputs for this fold
         assign = feature_modality_matrix(feat_cols)
@@ -373,8 +491,12 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         init_keys = jnp.stack([fold_keys[i][0] for i in range(K)])
         keys = jnp.stack([fold_keys[i][1] for i in range(K)])
     else:
-        init_keys = jnp.stack([fresh_key() for _ in range(K)])
-        keys = jnp.stack([fresh_key() for _ in range(K)])
+        # interleaved (init, train) draws per fold — the exact order the
+        # sequential fold loop consumes the global chain, so parallel and
+        # sequential runs of the same seed use identical keys per fold
+        drawn = [(fresh_key(), fresh_key()) for _ in range(K)]
+        init_keys = jnp.stack([a for a, _ in drawn])
+        keys = jnp.stack([b for _, b in drawn])
     # all folds' params in ONE jitted program: eager per-fold mlp_init is
     # ~6 tiny dispatches per layer, each paying a relay RTT
     params_stack = _init_folds_mlp(init_keys, tuple(dims))
@@ -421,7 +543,51 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
             bool(params_cfg.get("moddrop_per_sample", False)),
         )
 
-    if mesh is None:
+    if do_calibrate:
+        # pad calibration sets to a common width for the stacked program
+        Xc_stack, _ = _pad_stack(Xcal_list)
+        n_cal = [len(y) for y in ycal_list]
+        nc_max = Xc_stack.shape[1]
+        if mesh is None:
+            if is_moddrop:
+                buf = np.asarray(
+                    _cv_program_moddrop_probs(
+                        params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1],
+                        jnp.asarray(Xs_stack), jnp.asarray(Xc_stack), *md_hp,
+                    )
+                )
+            else:
+                buf = np.asarray(
+                    _cv_program_fullbatch_probs(
+                        params_stack, X_stack, y_stack, w_tr, keys,
+                        jnp.asarray(Xs_stack), jnp.asarray(Xc_stack),
+                        lr, epochs, dropout, wd,
+                    )
+                )
+        else:
+            if is_moddrop:
+                trained = _train_folds_moddrop(
+                    params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1], *md_hp
+                )
+            else:
+                trained = _train_folds_fullbatch(
+                    params_stack, X_stack, y_stack, w_tr, keys, lr, epochs, dropout, wd
+                )
+            buf = np.asarray(
+                _eval_probs_with_calib(trained, jnp.asarray(Xs_stack), jnp.asarray(Xc_stack))
+            )
+        raw_probs = buf[:, : S * nv_max].reshape(K, S, nv_max)
+        cal_probs = buf[:, S * nv_max:]
+        calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
+        calibrated = np.empty_like(raw_probs)
+        for i, iso in enumerate(calibrators):
+            calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, nv_max)
+        packed = np.asarray(
+            _metrics_from_probs_packed(
+                jnp.asarray(calibrated), jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+            )
+        )
+    elif mesh is None:
         # ONE dispatch + ONE fetch: train all folds, evaluate all folds x
         # scenarios, pack metrics + probs into a single result buffer
         eval_args = (jnp.asarray(Xs_stack), jnp.asarray(yv_rep), jnp.asarray(wv_rep))
@@ -577,4 +743,282 @@ def _run_parallel_cv_moe(
             res[scenario["name"]] = m
         metrics_all.append(res)
         fold_preds.append((yva_list[i], probs[i, full_obs_idx, :nv]))
+    return metrics_all, fold_preds
+
+
+
+
+# ---------------------------------------------------------------------------
+# MIL attention (precomputed bags) — one-program K-fold CV
+# ---------------------------------------------------------------------------
+#
+# The sequential path trains one MilAttentionModel per fold and loops
+# scenario predictions (models/mil_attention.py; reference :88-155,
+# :255-278). Here: bags pad to ONE static (n, L, D) shape shared by every
+# fold (cross-fold padding rows carry zero loss weight — exact no-ops),
+# a single vmapped program trains all K models AND predicts the val and
+# calibration bags, and scenario assembly (missing bag or dropped mri
+# modality -> the constant missing_prob) happens on host from the one
+# fetched prob matrix: MIL's scenario structure needs no per-scenario
+# device pass. Metrics for all K x S cells then come from one packed
+# device reduction. Total: 2 dispatches + 2 fetches for the entire
+# calibrated MIL CV.
+
+
+def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay,
+                            use_clip, track_best):
+    from pd_fusion.nn.mil import mil_apply, train_mil_impl
+
+    @jax.jit
+    def program(params_stack, X, bm, y, w_row, Xt, mt, yt, wt, Xv, mv, Xc, mc,
+                keys, pos_weight, max_grad_norm):
+        def one_fold(p0, x, b, yy, wr, xt, mtt, ytt, wtt, xv, mvv, xc, mcc, k, pw, gn):
+            trained = train_mil_impl(
+                p0, x, b, yy, wr, xt, mtt, ytt, wtt, k, lr, pw, gn, epochs,
+                batch_size, gated, dropout, weight_decay, use_clip, track_best,
+            )
+            pv = jax.nn.sigmoid(mil_apply(trained, xv, mvv, gated=gated))
+            pc = jax.nn.sigmoid(mil_apply(trained, xc, mcc, gated=gated))
+            return jnp.concatenate([pv, pc])
+
+        return jax.vmap(one_fold)(
+            params_stack, X, bm, y, w_row, Xt, mt, yt, wt, Xv, mv, Xc, mc,
+            keys, pos_weight, max_grad_norm,
+        )
+
+    return program
+
+
+def _pad_kept_bags(bags, keep, max_len, input_dim, width):
+    """Pad the kept bags of one fold into fixed [width, max_len, D] (+mask)."""
+    from pd_fusion.nn.mil import pad_bags
+
+    X = np.zeros((width, max_len, input_dim), np.float32)
+    M = np.zeros((width, max_len), np.float32)
+    if keep:
+        xb, mb = pad_bags([np.asarray(bags[j], np.float32) for j in keep], max_len)
+        X[: len(keep)], M[: len(keep)] = xb, mb
+    return X, M
+
+
+def _assemble_mil_scenario_probs(fold_rows, kept_probs, scenarios, missing_prob):
+    """Per-scenario probability vectors from the single kept-bag prob
+    fetch: a subject predicts missing_prob when its bag is absent OR the
+    scenario drops / the natural mask zeroes the mri modality
+    (MilAttentionModel.predict_proba semantics)."""
+    K = len(fold_rows)
+    S = len(scenarios)
+    nv_max = max(len(r["y_va"]) for r in fold_rows)
+    probs = np.full((K, S, nv_max), missing_prob, np.float32)
+    yv = np.zeros((K, S, nv_max), np.float32)
+    wv = np.zeros((K, S, nv_max), np.float32)
+    for i, r in enumerate(fold_rows):
+        nv = len(r["y_va"])
+        pos_of = {row: slot for slot, row in enumerate(r["keep_va"])}
+        for si, scenario in enumerate(scenarios):
+            cur = apply_missingness_scenario(r["val_df"], scenario, r["val_masks"])
+            mri = cur.get("mri")
+            vec = np.full(nv, missing_prob, np.float32)
+            for row, slot in pos_of.items():
+                if mri is None or mri[row] != 0:
+                    vec[row] = kept_probs[i, slot]
+            probs[i, si, :nv] = vec
+            yv[i, si, :nv] = r["y_va"]
+            wv[i, si, :nv] = 1.0
+    return probs, yv, wv, nv_max
+
+
+def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
+                         do_calibrate, nested, fold_masks, fold_keys):
+    from pd_fusion.nn.mil import mil_init
+
+    if fold_masks is not None:
+        raise ValueError("parallel MIL CV does not support explicit fold_masks")
+    params_cfg = config["params"]
+    mil_col = config.get("mil_column", "mri_mil")
+    K = len(folds)
+    missing_prob = float(params_cfg.get("missing_prob", 0.5))
+    gated = bool(params_cfg.get("gated", False))
+    patience = int(params_cfg.get("early_stopping_patience", 0))
+    max_grad_norm = params_cfg.get("max_grad_norm")
+    track_best = patience > 0
+
+    # ---- collect per-fold bag sets --------------------------------------
+    fold_rows = []
+    bag_dims, bag_lens = set(), []
+    for fi, (train_df, val_df) in enumerate(folds):
+        val_masks = get_subset_masks(masks, val_df.index)
+        bags_tr = train_df[mil_col].tolist()
+        keep_tr = [j for j, b in enumerate(bags_tr) if b is not None]
+        bags_va = val_df[mil_col].tolist()
+        keep_va = [j for j, b in enumerate(bags_va) if b is not None]
+
+        if do_calibrate and nested:
+            calib_df = calib_dfs[fi]
+            calib_masks = get_subset_masks(masks, calib_df.index)
+            bags_cal = calib_df[mil_col].tolist()
+            keep_cal = [j for j, b in enumerate(bags_cal) if b is not None]
+            y_cal = calib_df[TARGET_COL].values.astype(np.float32)
+            cal_mri = calib_masks.get("mri")
+        else:
+            bags_cal, keep_cal = bags_va, keep_va
+            y_cal = val_df[TARGET_COL].values.astype(np.float32)
+            cal_mri = val_masks.get("mri")
+
+        for src, kp in ((bags_tr, keep_tr), (bags_va, keep_va), (bags_cal, keep_cal)):
+            for j in kp:
+                b = np.asarray(src[j])
+                bag_lens.append(b.shape[0])
+                bag_dims.add(b.shape[1])
+
+        fold_rows.append({
+            "bags_tr": [np.asarray(bags_tr[j], np.float32) for j in keep_tr],
+            "y_tr": train_df[TARGET_COL].values.astype(np.float32)[keep_tr],
+            "bags_va": bags_va, "keep_va": keep_va,
+            "y_va": val_df[TARGET_COL].values.astype(np.float32),
+            "val_masks": val_masks, "val_df": val_df,
+            "bags_cal": bags_cal, "keep_cal": keep_cal, "y_cal": y_cal,
+            "cal_mri": cal_mri,
+        })
+
+    if len(bag_dims) != 1:
+        raise ValueError(f"inconsistent MIL bag feature dims: {bag_dims}")
+    input_dim = bag_dims.pop()
+    if "max_len" in params_cfg:
+        max_len = int(params_cfg["max_len"])
+    else:
+        max_len = ((max(bag_lens) + 7) // 8) * 8  # TPU sublane alignment
+
+    n_tr = [len(r["bags_tr"]) for r in fold_rows]
+    n_tr_max = max(n_tr)
+    nv_w = max(max(len(r["keep_va"]) for r in fold_rows), 1)
+    nc_w = max(max(len(r["keep_cal"]) for r in fold_rows), 1) if do_calibrate else 1
+    # the sequential path uses min(batch_size, n_real) PER FOLD; the
+    # shared static program takes the smallest fold's value (identical
+    # whenever folds are equal-sized)
+    batch_size = min(int(params_cfg.get("batch_size", 16)), min(n_tr))
+
+    X = np.zeros((K, n_tr_max, max_len, input_dim), np.float32)
+    BM = np.zeros((K, n_tr_max, max_len), np.float32)
+    Y = np.zeros((K, n_tr_max), np.float32)
+    WR = np.zeros((K, n_tr_max), np.float32)
+    XV = np.zeros((K, nv_w, max_len, input_dim), np.float32)
+    MV = np.zeros((K, nv_w, max_len), np.float32)
+    XC = np.zeros((K, nc_w, max_len, input_dim), np.float32)
+    MC = np.zeros((K, nc_w, max_len), np.float32)
+    pos_w = np.ones((K,), np.float32)
+
+    for i, r in enumerate(fold_rows):
+        xt, mt = _pad_kept_bags(r["bags_tr"], list(range(n_tr[i])), max_len, input_dim, n_tr_max)
+        X[i], BM[i] = xt, mt
+        Y[i, : n_tr[i]] = r["y_tr"]
+        WR[i, : n_tr[i]] = 1.0
+        XV[i], MV[i] = _pad_kept_bags(r["bags_va"], r["keep_va"], max_len, input_dim, nv_w)
+        if do_calibrate:
+            XC[i], MC[i] = _pad_kept_bags(r["bags_cal"], r["keep_cal"], max_len, input_dim, nc_w)
+        if params_cfg.get("class_weight") == "balanced":
+            pos = float((r["y_tr"] == 1).sum())
+            neg = float((r["y_tr"] == 0).sum())
+            pos_w[i] = neg / pos if pos > 0 else 1.0
+        elif params_cfg.get("pos_weight") is not None:
+            pos_w[i] = float(params_cfg["pos_weight"])
+
+    # early-stopping tracking set per fold: the frame the sequential
+    # train_pipeline passes as val_data (calib split when nested, else
+    # the val fold), kept bags only — matching MilAttentionModel.train
+    if track_best and nested:
+        Xt, Mt = XC, MC
+        Yt = np.zeros((K, nc_w), np.float32)
+        Wt = np.zeros((K, nc_w), np.float32)
+        for i, r in enumerate(fold_rows):
+            kc = len(r["keep_cal"])
+            Yt[i, :kc] = r["y_cal"][r["keep_cal"]]
+            Wt[i, :kc] = 1.0
+    else:
+        Xt, Mt = XV, MV
+        Yt = np.zeros((K, nv_w), np.float32)
+        Wt = np.zeros((K, nv_w), np.float32)
+        for i, r in enumerate(fold_rows):
+            kv = len(r["keep_va"])
+            Yt[i, :kv] = r["y_va"][r["keep_va"]]
+            Wt[i, :kv] = 1.0
+
+    # interleaved (init, train) key draws per fold = the sequential
+    # loop's consumption order of the global chain
+    if fold_keys is not None:
+        drawn = [(fold_keys[i][0], fold_keys[i][1]) for i in range(K)]
+    else:
+        drawn = [(fresh_key(), fresh_key()) for _ in range(K)]
+    init_keys = jnp.stack([a for a, _ in drawn])
+    train_keys = jnp.stack([b for _, b in drawn])
+    params_stack = jax.jit(jax.vmap(
+        lambda k: mil_init(
+            k, input_dim, int(params_cfg.get("hidden_dim", 128)),
+            int(params_cfg.get("attn_dim", 64)), gated,
+        )
+    ))(init_keys)
+
+    program = _mil_cv_program_factory(
+        float(params_cfg.get("lr", 1e-3)), int(params_cfg.get("epochs", 30)),
+        batch_size, gated, float(params_cfg.get("dropout", 0.3)),
+        float(params_cfg.get("weight_decay", 0.0)), bool(max_grad_norm), track_best,
+    )
+    buf = np.asarray(program(
+        params_stack, jnp.asarray(X), jnp.asarray(BM), jnp.asarray(Y), jnp.asarray(WR),
+        jnp.asarray(Xt), jnp.asarray(Mt), jnp.asarray(Yt), jnp.asarray(Wt),
+        jnp.asarray(XV), jnp.asarray(MV), jnp.asarray(XC), jnp.asarray(MC),
+        train_keys, jnp.asarray(pos_w),
+        jnp.asarray(np.full(K, float(max_grad_norm or 1.0), np.float32)),
+    ))
+    kept_val_probs = buf[:, :nv_w]
+    kept_cal_probs = buf[:, nv_w:]
+
+    probs, yv, wv, nv_max = _assemble_mil_scenario_probs(
+        fold_rows, kept_val_probs, scenarios, missing_prob
+    )
+
+    if do_calibrate:
+        # calibration-set probs assembled the same way predict_proba
+        # would (missing bags / masked mri -> missing_prob constants)
+        calibrators = []
+        from sklearn.isotonic import IsotonicRegression
+
+        for i, r in enumerate(fold_rows):
+            nc = len(r["y_cal"])
+            vec = np.full(nc, missing_prob, np.float32)
+            for slot, row in enumerate(r["keep_cal"]):
+                if r["cal_mri"] is None or r["cal_mri"][row] != 0:
+                    vec[row] = kept_cal_probs[i, slot]
+            iso = IsotonicRegression(out_of_bounds="clip")
+            iso.fit(vec, r["y_cal"])
+            calibrators.append(iso)
+        for i, iso in enumerate(calibrators):
+            probs[i] = iso.transform(probs[i].ravel()).reshape(probs[i].shape)
+
+    packed = np.asarray(
+        _metrics_from_probs_packed(jnp.asarray(probs), jnp.asarray(yv), jnp.asarray(wv))
+    )
+    S = len(scenarios)
+    md, probs_out = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, nv_max))
+
+    metrics_all, fold_preds = [], []
+    full_obs_idx = next(
+        (i for i, s in enumerate(scenarios) if s["name"] == "full_observation"), 0
+    )
+    for i, r in enumerate(fold_rows):
+        nv = len(r["y_va"])
+        res = {}
+        for si, scenario in enumerate(scenarios):
+            m = {k: float(md[k][i, si]) for k in md}
+            if group_col and group_col in r["val_df"].columns:
+                from pd_fusion.evaluation.evaluate import _subject_metrics
+
+                subj = _subject_metrics(
+                    r["val_df"], group_col, r["y_va"].astype(int), probs_out[i, si, :nv]
+                )
+                for kk, vv in subj.items():
+                    m[f"subject_{kk}"] = vv
+            res[scenario["name"]] = m
+        metrics_all.append(res)
+        fold_preds.append((r["y_va"], probs_out[i, full_obs_idx, :nv]))
     return metrics_all, fold_preds

@@ -84,11 +84,10 @@ def run_multi_seed_cv(
                 (get_subset_masks(masks, train_df.index), get_subset_masks(masks, val_df.index))
             )
         # draw keys from THIS seed's chain in the same order a standalone
-        # run_parallel_cv call would (K init keys, then K train keys), so
+        # run would consume them — interleaved (init, train) per fold,
+        # matching both run_parallel_cv and the sequential fold loop — so
         # a fused sweep is bit-reproducible by a per-seed run
-        init_keys = [fresh_key() for _ in folds]
-        train_keys = [fresh_key() for _ in folds]
-        combined_keys.extend(zip(init_keys, train_keys))
+        combined_keys.extend((fresh_key(), fresh_key()) for _ in folds)
         seed_slices[seed] = (start, start + len(folds))
         seed_meta[seed] = (dataset_name, cfg_s)
 
