@@ -110,14 +110,17 @@ def measure_cv(n_subjects: int = 500, k: int = 5) -> float:
     return min(walls)
 
 
-def measure_embed() -> float:
-    """Reference embed loop rate (subj/s) on the bench volumes."""
+def measure_embed(scale: bool = False) -> float:
+    """Reference embed loop rate (subj/s): the 16-volume mean-pool leg,
+    or with ``scale`` the 64-volume per-slice (MIL-bag) leg mirroring
+    reference scripts/build_resnet2d_mil_embeddings.py:112-158 (same
+    prep + per-slice forward; only the final pool differs)."""
     import numpy as np
     import torch
 
     sys.path.insert(0, str(REPO / "src"))
     sys.path.insert(0, str(REPO))
-    from bench import ensure_embed_data, N_EMBED
+    from bench import ensure_embed_data, ensure_embed_scale_data, N_EMBED, N_EMBED_SCALE
     from pd_fusion.imaging.nifti import read_nifti
 
     try:
@@ -125,7 +128,7 @@ def measure_embed() -> float:
     except Exception:  # pragma: no cover
         nd_zoom = None
 
-    paths = ensure_embed_data()
+    paths = ensure_embed_scale_data() if scale else ensure_embed_data()
 
     # architecture-identical resnet18 (torchvision absent in-image)
     from pd_fusion.utils.torch_utils import build_torch_resnet18
@@ -169,18 +172,20 @@ def measure_embed() -> float:
         with torch.no_grad():
             for i in range(0, x.size(0), 32):
                 feats.append(net(x[i : i + 32]))
-        return torch.cat(feats).mean(0).numpy()
+        emb = torch.cat(feats)
+        # scale leg keeps per-slice bags (MIL builder), base leg mean-pools
+        return emb.numpy() if scale else emb.mean(0).numpy()
 
     t0 = time.time()
     for p in paths:
         embed_one(p)
     wall = time.time() - t0
-    return N_EMBED / wall
+    return (N_EMBED_SCALE if scale else N_EMBED) / wall
 
 
 def main():
     cli = argparse.ArgumentParser()
-    cli.add_argument("leg", choices=["cv", "cv-scale", "embed", "all"])
+    cli.add_argument("leg", choices=["cv", "cv-scale", "embed", "embed-scale", "all"])
     args = cli.parse_args()
 
     if args.leg == "all":
@@ -205,6 +210,8 @@ def main():
         out["REF_CV_WALL_S"] = round(measure_cv(), 3)
     elif args.leg == "cv-scale":
         out["REF_CV_SCALE_WALL_S"] = round(measure_cv(n_subjects=5000, k=10), 3)
+    elif args.leg == "embed-scale":
+        out["REF_EMBED_SCALE_RATE"] = round(measure_embed(scale=True), 4)
     else:
         out["REF_EMBED_RATE"] = round(measure_embed(), 4)
     print(json.dumps(out))

@@ -47,9 +47,12 @@ def test_entry_forward_compiles():
 
 
 def test_parallel_cv_shards_over_virtual_mesh():
-    """The parallel CV engine auto-shards (fold, data) when multiple
-    devices exist — run a tiny CV under an 8-device virtual CPU mesh in a
-    scrubbed subprocess and check the aggregate is sane."""
+    """Multi-device CORRECTNESS by equivalence (VERDICT r2 #2): the same
+    CV runs once sharded over the 8-device ("fold", "data") mesh and once
+    with the mesh forced off (single-device program); every scenario
+    metric of every fold must agree to numerical tolerance — a padding
+    bug, wrong psum, or sharding-induced batch reorder would break this,
+    not just a 0.4<auc sanity band."""
     code = """
 import sys
 sys.path.insert(0, "src")
@@ -57,18 +60,54 @@ import numpy as np
 from pd_fusion.utils.logging import setup_logging
 setup_logging("ERROR")
 from pd_fusion.experiments.run_experiment import run_cv_pipeline
-import shutil
+import shutil, yaml
 from pd_fusion.paths import RUNS_DIR
-agg = run_cv_pipeline(
-    "configs/quickstart.yaml", k=4, synthetic=True,
-    overrides={"output_dir": "pytest_mesh_cv", "model_type": "fusion_moddrop",
-               "params": {"hidden_dims": [16], "dropout": 0.1, "lr": 0.01,
-                          "batch_size": 32, "epochs": 10, "moddrop_rate": 0.3}},
-)
-auc = agg["full_observation"]["roc_auc"]["mean"]
-assert 0.4 < auc <= 1.0, auc
-shutil.rmtree(RUNS_DIR / "pytest_mesh_cv", ignore_errors=True)
-print("MESH_CV_OK", auc)
+
+import pandas as pd
+
+base = {"model_type": "fusion_moddrop",
+        "params": {"hidden_dims": [16], "dropout": 0.1, "lr": 0.01,
+                   "batch_size": 32, "epochs": 10, "moddrop_rate": 0.3}}
+folds, preds = {}, {}
+for mode, mesh in (("on", "auto"), ("off", "off")):
+    run_id = f"pytest_mesh_cv_{mode}"
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml", k=4, synthetic=True,
+        overrides={**base, "output_dir": run_id, "cv_mesh": mesh},
+    )
+    folds[mode] = [yaml.safe_load(open(RUNS_DIR / run_id / f"results_fold_{i}.yaml"))
+                   for i in (1, 2, 3, 4)]
+    preds[mode] = [pd.read_csv(RUNS_DIR / run_id / f"preds_fold_{i}_full_observation.csv")
+                   for i in (1, 2, 3, 4)]
+    auc = agg["full_observation"]["roc_auc"]["mean"]
+    assert 0.4 < auc <= 1.0, auc
+    shutil.rmtree(RUNS_DIR / run_id, ignore_errors=True)
+
+# equivalence, two layers:
+# 1. per-sample PROBABILITIES of every fold agree to ~1e-3: mesh-off is
+#    the fused train+eval single program, mesh-on trains and evaluates
+#    as two programs — identical math, different fusion, so 120 chained
+#    Adam steps leave small ulp-chaos in the probs. A wrong psum /
+#    padding / batch-order bug shifts probs by orders of magnitude more.
+# 2. metric drift stays small; rank metrics step by ~1/n_pos when a
+#    near-tie flips, so they get a looser band (the BIT-EXACT
+#    sharded==single gate for the SAME program is dryrun_multichip's
+#    equivalence check, which printed 0.00e+00 for the flagship trainer).
+worst_p = 0.0
+for po, px in zip(preds["on"], preds["off"]):
+    assert (po["y_true"].values == px["y_true"].values).all()
+    worst_p = max(worst_p, float(np.max(np.abs(po["y_prob"].values - px["y_prob"].values))))
+assert worst_p < 5e-3, worst_p
+worst_m = 0.0
+for fo, fx in zip(folds["on"], folds["off"]):
+    for scen in fo:
+        if scen == "fold":
+            continue
+        for metric, v in fo[scen].items():
+            d = abs(v - fx[scen][metric])
+            worst_m = max(worst_m, d)
+            assert d < 5e-2, (scen, metric, v, fx[scen][metric])
+print(f"MESH_CV_EQUIV_OK max|prob diff|={worst_p:.2e} max|metric diff|={worst_m:.2e}")
 """
     env = {k: v for k, v in os.environ.items()}
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -81,4 +120,4 @@ print("MESH_CV_OK", auc)
         text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "MESH_CV_OK" in out.stdout
+    assert "MESH_CV_EQUIV_OK" in out.stdout
