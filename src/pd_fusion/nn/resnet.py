@@ -345,47 +345,16 @@ def _bottleneck_block_folded(x, p, stride):
     return jax.nn.relu(out + identity)
 
 
-def _stem_conv_s2d(x, w):
-    """The stem's 7x7/stride-2 conv as a 4x4/stride-1 conv on a 2x2
-    space-to-depth view of the input — exactly equivalent algebra
-    (kernel zero-padded to 8x8 and regrouped). With only 3 input
-    channels the direct 7x7 conv wastes most of the MXU's 128-lane
-    contraction; s2d lifts the contraction from 7*7*3=147 to an
-    aligned 4*4*12=192 over a quarter the positions (the standard TPU
-    ResNet stem trick)."""
-    N, H, W, C = x.shape
-    O = w.shape[-1]
-    # kernel: [7,7,C,O] -> pad to [8,8,C,O] -> [4, dy, 4, dx, C, O]
-    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
-    k4 = jnp.transpose(
-        w8.reshape(4, 2, 4, 2, C, O), (0, 2, 4, 1, 3, 5)
-    ).reshape(4, 4, C * 4, O)
-    # input: torch padding 3 each side; pad right by 5 to even length
-    # (the extra zeros only feed the one output row/col sliced off below)
-    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
-    A, B = (H + 8) // 2, (W + 8) // 2
-    xs = jnp.transpose(
-        xp.reshape(N, A, 2, B, 2, C), (0, 1, 3, 5, 2, 4)
-    ).reshape(N, A, B, C * 4)
-    out = jax.lax.conv_general_dilated(
-        xs.astype(k4.dtype), k4, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=k4.dtype,
-    )
-    return out[:, : (H + 1) // 2, : (W + 1) // 2, :]
-
-
 def resnet_apply_folded(folded, x, arch: str = "resnet18"):
     """Inference forward over a BN-folded pytree (``fold_bn_inference``):
     equals ``resnet_apply(params, x, train=False)`` to f32 rounding,
-    with every BN collapsed into its conv and the stem run through the
-    space-to-depth transform. x: [N,H,W,3] -> [N, emb_dim]."""
+    with every BN collapsed into its conv. x: [N,H,W,3] -> [N, emb_dim]."""
     cfg = _CONFIGS[arch]
     block_fn = _basic_block_folded if cfg["block"] == "basic" else _bottleneck_block_folded
-    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        out = _stem_conv_s2d(x, folded["conv1"]["w"])
-    else:  # odd sizes: fall back to the direct 7x7 conv
-        out = _conv(x, folded["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
+    # stem stays a direct 7x7/s2 conv: a space-to-depth 4x4/s1 rewrite was
+    # measured SLOWER on this toolchain (bf16 B=16: 46.7% vs 51.9% MFU) —
+    # XLA's own lowering already handles the 3-channel stem well
+    out = _conv(x, folded["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
     out = jax.nn.relu(out + folded["conv1"]["b"])
     out = jax.lax.reduce_window(
         out,
