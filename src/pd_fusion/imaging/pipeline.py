@@ -28,6 +28,18 @@ only need cheap host arithmetic, so the pipeline runs them host-side
 tested) and ships only the selected slices (~2.4 MB for 24x160², a 6.7x
 reduction), batched SUBJECTS_PER_CALL at a time so the MXU sees large
 batches and per-call dispatch latency amortizes.
+
+Tail-flush split: async dispatch hides every flush's device time under
+the host prep of the subjects that FOLLOW it — the only exposed device
+time is the final flush's program plus the readback. The pipeline peels
+the last SUBJECTS_PER_CALL//4 subjects into their own small-width
+program (widths quantized to {B//4, B//2, B} so at most three batch
+variants ever compile), so the exposed tail program and its result are
+as small as possible. Measured effect on the 16-volume bench leg is
+modest (~0-0.1 s: the 384-image program itself is only ~17 ms of device
+time — the leg is host-prep-bound on this 1-core box), but the split
+costs nothing and matters when device programs are heavier (resnet50,
+TTA, device-prep mode). PD_FUSION_NO_TAIL_SPLIT=1 disables it.
 """
 import concurrent.futures as cf
 import hashlib
@@ -399,13 +411,38 @@ def run_resnet_embedding_pipeline(
 
     n = len(paths)
     B = min(SUBJECTS_PER_CALL, max(n, 1))
+    # Tail-flush split: the only device time the pipeline cannot hide
+    # under host prep is the FINAL flush's program (earlier flushes are
+    # dispatched asynchronously and execute while later subjects still
+    # prep on the host). When n >= SUBJECTS_PER_CALL, peel the last
+    # B//4 subjects into their own small-width program: a 4-subject tail
+    # exposes ~1/3 the device time of a full 16-subject program, and the
+    # 12-subject flush it displaces rides under the tail's host prep.
+    # Program widths are quantized to {B//4, B//2, B} so at most three
+    # batch-size variants ever compile per (per_slice, dtype) combo.
+    # PD_FUSION_NO_TAIL_SPLIT=1 restores single-width flushing (A/B knob)
+    tail_w = (
+        B // 4
+        if n >= SUBJECTS_PER_CALL and B >= 8
+        and not os.environ.get("PD_FUSION_NO_TAIL_SPLIT")
+        else 0
+    )
+    widths = [w for w in (tail_w, B // 2, B) if w] or [B]
+
+    def _pad_width(nb: int) -> int:
+        for w in widths:
+            if nb <= w:
+                return w
+        return B
+
     # per-flush device outputs, fetched in ONE readback at the end (each
     # individual device->host fetch costs ~50-150 ms through the relay;
     # 16 subjects fetched one-by-one used to burn ~0.75 s of pure RTT)
     flush_embs: List[jax.Array] = []
     flush_idx: List[List[int]] = []
+    flush_width: List[int] = []
 
-    def tta_params(batch_idx, nb):
+    def tta_params(batch_idx, nb, W):
         # Stable per-subject seed. The reference seeds with builtin
         # hash() (build_resnet2d_mil_embeddings.py:120), which is
         # PYTHONHASHSEED-randomized across processes; a sha256 digest
@@ -418,14 +455,14 @@ def run_resnet_embedding_pipeline(
                 )
             )
             for i in batch_idx
-        ] + [np.random.default_rng(0)] * (B - nb)
+        ] + [np.random.default_rng(0)] * (W - nb)
         draws = []
         for _ in range(tta):
-            angle = np.zeros(B, np.float32)
-            translate = np.zeros((B, 2), np.float32)
-            scale = np.ones(B, np.float32)
-            shift = np.zeros(B, np.float32)
-            noise = np.zeros((B, n_slices_total, h_dim, w_dim), np.float32)
+            angle = np.zeros(W, np.float32)
+            translate = np.zeros((W, 2), np.float32)
+            scale = np.ones(W, np.float32)
+            shift = np.zeros(W, np.float32)
+            noise = np.zeros((W, n_slices_total, h_dim, w_dim), np.float32)
             for j, rng in enumerate(rngs):
                 angle[j] = rng.uniform(-max_rotation, max_rotation)
                 translate[j] = rng.uniform(-max_translation, max_translation, size=2) * np.array(
@@ -442,9 +479,10 @@ def run_resnet_embedding_pipeline(
 
     def flush(batch_idx, batch_payload):
         nb = len(batch_idx)
+        W = _pad_width(nb)
         if raw_mode:
             shape = batch_payload[0].shape
-            stack = np.zeros((B,) + shape, np.float32)
+            stack = np.zeros((W,) + shape, np.float32)
             for j, v in enumerate(batch_payload):
                 stack[j] = v
             if tta <= 1:
@@ -454,7 +492,7 @@ def run_resnet_embedding_pipeline(
                 )
             else:
                 emb = None
-                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb):
+                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
                     e = embed_raw_batch_augmented(
                         backbone_params, stack, mean, std, jnp.asarray(angle),
                         jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
@@ -467,7 +505,7 @@ def run_resnet_embedding_pipeline(
             # subjects were device_put as the prefetcher yielded them —
             # pad the tuple to B (repeating the first entry costs no new
             # transfer) and stack ON DEVICE inside the jitted program
-            stack = tuple(batch_payload) + (batch_payload[0],) * (B - nb)
+            stack = tuple(batch_payload) + (batch_payload[0],) * (W - nb)
             if tta <= 1:
                 emb = embed_slices_batch(
                     backbone_params, stack, mean, std, arch, input_size, per_slice,
@@ -475,7 +513,7 @@ def run_resnet_embedding_pipeline(
                 )
             else:
                 emb = None
-                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb):
+                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
                     e = embed_slices_batch_augmented(
                         backbone_params, stack, mean, std, jnp.asarray(angle),
                         jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
@@ -485,8 +523,10 @@ def run_resnet_embedding_pipeline(
                 emb = emb / tta
         flush_embs.append(emb)
         flush_idx.append(list(batch_idx))
+        flush_width.append(W)
 
     batch_idx, batch_payload = [], []
+    consumed = 0
     for i, payload in it:
         # raw mode batches must share a raw shape (static-shape programs)
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
@@ -498,7 +538,11 @@ def run_resnet_embedding_pipeline(
             payload = jax.device_put(payload)
         batch_idx.append(i)
         batch_payload.append(payload)
-        if len(batch_idx) == B:
+        consumed += 1
+        # full batch, or tail-split point: flush early so exactly tail_w
+        # subjects remain for the final (small, cheap) program while this
+        # flush's device time hides under their host prep
+        if len(batch_idx) == B or (tail_w and n - consumed == tail_w):
             flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
     if batch_idx:
@@ -518,7 +562,9 @@ def run_resnet_embedding_pipeline(
         all_emb = np.asarray(_concat_rows(padded))
     else:
         all_emb = np.asarray(flush_embs[0])
-    for f, idxs in enumerate(flush_idx):
+    off = 0
+    for idxs, w in zip(flush_idx, flush_width):
         for j, i in enumerate(idxs):
-            results[i] = all_emb[f * B + j]
+            results[i] = all_emb[off + j]
+        off += w
     return results

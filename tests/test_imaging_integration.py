@@ -381,3 +381,32 @@ def test_mil_finetune_checkpoint_resume(synthetic_dataset, tmp_path):
         {"b": m1.backbone_params, "h": m1.head_params},
         {"b": m2.backbone_params, "h": m2.head_params},
     )
+
+
+def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
+    """The tail-flush split (variable-width batched programs + cumulative-
+    offset stitching, pipeline.run_resnet_embedding_pipeline) must be
+    invisible in the results: with SUBJECTS_PER_CALL=8 an 11-subject run
+    flushes [8-wide, 1-in-2-wide (padded), 2-wide]; it must match the
+    single-flush 11-wide run subject for subject (TTA path included)."""
+    import jax
+
+    from pd_fusion.imaging import pipeline
+    from pd_fusion.nn.resnet import init_resnet
+
+    _, manifest = synthetic_dataset
+    man = pd.read_csv(manifest)
+    paths = [Path(p) for p in man["t1wbrain_path"]][:11]
+    sids = man["subject_id"].tolist()[:11]
+    params = init_resnet(jax.random.PRNGKey(3), "resnet18")
+    mean = np.float32([0.5, 0.5, 0.5])
+    std = np.float32([0.5, 0.5, 0.5])
+    kw = dict(arch="resnet18", target_shape=(16, 16, 16), axes=[2], counts=[4],
+              input_size=32, per_slice=True, progress=False, tta=2)
+
+    single = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    monkeypatch.setattr(pipeline, "SUBJECTS_PER_CALL", 8)
+    split = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    assert len(single) == len(split) == 11
+    for s, t in zip(single, split):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=5e-5, rtol=1e-5)
