@@ -396,6 +396,19 @@ def run_resnet_embedding_pipeline(
     h_dim, w_dim = target_t[1], target_t[2]
 
     raw_mode = bool(os.environ.get("PD_FUSION_DEVICE_PREP")) and native.available()
+    # PD_FUSION_STACKED_PUT=1: instead of device_put-ing every subject as
+    # host prep finishes (W buffers per flush -> W relay transfer ops +
+    # a W-ary dispatch), stack the flush's subjects into ONE host array
+    # and ship it with a single async device_put. Cuts relay operations
+    # per 16-subject flush from ~17 to ~2 — matters on bad-relay days
+    # where each op carries tens of ms of RTT overhead; the single
+    # transfer still overlaps the next flush's host prep. Default OFF:
+    # interleaved A/B (scripts/ab_stacked_put.py, 16-vol leg, good-relay
+    # session) measured per-subject min 1.84s / median 1.92s vs stacked
+    # min 2.28s / median 2.33s — starting transfers as each subject
+    # finishes prep beats fewer relay ops here. Keep as a knob for
+    # bad-relay days where per-op RTT dominates.
+    stacked_put = bool(os.environ.get("PD_FUSION_STACKED_PUT")) and not raw_mode
     if raw_mode:
         loader = lambda p: np.ascontiguousarray(native.read_nifti_native(p))
     else:
@@ -501,6 +514,27 @@ def run_resnet_embedding_pipeline(
                     )
                     emb = e if emb is None else emb + e
                 emb = emb / tta
+        elif stacked_put:
+            # one host stack, one async relay transfer for the whole flush
+            stack_np = np.zeros((W,) + batch_payload[0].shape, np.float32)
+            for j, v in enumerate(batch_payload):
+                stack_np[j] = v
+            stack = jax.device_put(stack_np)
+            if tta <= 1:
+                emb = embed_slices_batch(
+                    backbone_params, stack, mean, std, arch, input_size, per_slice,
+                    compute_dtype,
+                )
+            else:
+                emb = None
+                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
+                    e = embed_slices_batch_augmented(
+                        backbone_params, stack, mean, std, jnp.asarray(angle),
+                        jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
+                        jnp.asarray(noise), arch, input_size, per_slice,
+                    )
+                    emb = e if emb is None else emb + e
+                emb = emb / tta
         else:
             # subjects were device_put as the prefetcher yielded them —
             # pad the tuple to B (repeating the first entry costs no new
@@ -532,7 +566,7 @@ def run_resnet_embedding_pipeline(
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
             flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
-        if not raw_mode:
+        if not raw_mode and not stacked_put:
             # start the host->device transfer NOW (async): it rides the
             # relay while the prefetch threads prep the next subjects
             payload = jax.device_put(payload)

@@ -407,6 +407,11 @@ def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
     single = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
     monkeypatch.setattr(pipeline, "SUBJECTS_PER_CALL", 8)
     split = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
-    assert len(single) == len(split) == 11
-    for s, t in zip(single, split):
+    # stacked-put transfer mode (one host stack + one device_put per
+    # flush instead of per-subject puts) must be value-identical too
+    monkeypatch.setenv("PD_FUSION_STACKED_PUT", "1")
+    stacked = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    assert len(single) == len(split) == len(stacked) == 11
+    for s, t, u in zip(single, split, stacked):
         np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=5e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(u), atol=5e-5, rtol=1e-5)
