@@ -94,7 +94,16 @@ def test_bn_folding_equals_unfolded_inference():
     params = jax.tree_util.tree_map_with_path(spice, params)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
 
-    ref = np.asarray(jax.jit(lambda p, v: resnet_apply(p, v, "resnet18", train=False))(params, x))
-    folded = fold_bn_inference(params, "resnet18")
-    got = np.asarray(jax.jit(lambda p, v: resnet_apply_folded(p, v, "resnet18"))(folded, x))
+    # prove the fold at HIGHEST matmul precision: TPU's DEFAULT f32 conv
+    # runs bf16 MXU passes, so scaling W *before* the bf16 rounding
+    # (folded) vs after (unfolded) legitimately drifts ~1e-2 over 18
+    # layers — a backend rounding mode, not a folding bug. HIGHEST gives
+    # true-f32 conv semantics on every backend; the algebraic identity is
+    # what this test pins.
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(
+            jax.jit(lambda p, v: resnet_apply(p, v, "resnet18", train=False))(params, x)
+        )
+        folded = fold_bn_inference(params, "resnet18")
+        got = np.asarray(jax.jit(lambda p, v: resnet_apply_folded(p, v, "resnet18"))(folded, x))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
