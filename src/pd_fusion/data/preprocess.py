@@ -35,6 +35,50 @@ def _scale_transform(X, medians, iqrs):
     return jnp.where(jnp.isnan(scaled), 0.0, scaled)
 
 
+def _nan_median_quartiles(X: np.ndarray):
+    """Bit-identical replacement for ``np.nanmedian`` + ``np.nanpercentile
+    (X, [25, 75], axis=0)`` via ONE shared column sort. numpy's nanquantile
+    falls back to ``apply_along_axis`` whenever NaNs are present (~4 ms per
+    call on the CV hot path); a single ``np.sort`` (NaNs order last) +
+    vectorized gathers computes all three statistics ~10x faster.
+
+    Exactness contract (pinned by tests/test_data.py bit-parity test):
+    - quantiles use numpy's lerp with its branch: t<0.5 -> a+(b-a)*t,
+      t>=0.5 -> b-(b-a)*(1-t); upper sample at ceil(pos) so integral
+      positions return the element exactly;
+    - even-count median is (a+b)/2 like ``np.mean`` of the two middle
+      values (including its overflow behavior); odd-count is the middle
+      element directly;
+    - empty (all-NaN) columns return NaN.
+    """
+    X = np.asarray(X, np.float64)
+    if X.ndim != 2:
+        raise ValueError("expected a 2-D matrix")
+    Xs = np.sort(X, axis=0)  # NaNs sort to the end
+    n = (~np.isnan(X)).sum(axis=0)
+    cols = np.arange(X.shape[1])
+    empty = n == 0
+    nn = np.maximum(n, 1)  # keeps indices valid on empty columns
+
+    def quantile(q: float):
+        pos = q * (nn - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        t = pos - lo
+        a = Xs[lo, cols]
+        b = Xs[hi, cols]
+        d = b - a
+        r = np.where(t < 0.5, a + d * t, b - d * (1.0 - t))
+        return np.where(empty, np.nan, r)
+
+    lo_m = (nn - 1) // 2
+    hi_m = nn // 2
+    med = (Xs[lo_m, cols] + Xs[hi_m, cols]) / 2.0
+    med = np.where(lo_m == hi_m, Xs[lo_m, cols], med)  # odd: exact element
+    med = np.where(empty, np.nan, med)
+    return med, quantile(0.25), quantile(0.75)
+
+
 class NaNRobustScaler:
     """Median/IQR scaler that ignores NaNs when fitting and zero-fills
     NaNs on transform (see module docstring for the deviation note)."""
@@ -45,12 +89,11 @@ class NaNRobustScaler:
 
     def fit(self, X: np.ndarray):
         with np.errstate(all="ignore"):
-            self.medians = np.nanmedian(X, axis=0)
-            # one batched call: numpy shares the partition across quantiles
-            # (bit-identical to separate q75/q25 calls, tested); nanmedian
-            # stays separate because its even-count mean (a+b)/2 is NOT
-            # bitwise nanpercentile(50)'s a+(b-a)*0.5
-            q25, q75 = np.nanpercentile(X, [25, 75], axis=0)
+            # one shared sort computes all three statistics bit-identically
+            # to np.nanmedian + np.nanpercentile([25, 75]) (parity test in
+            # tests/test_data.py); median stays a distinct formula because
+            # its even-count mean (a+b)/2 is NOT bitwise lerp(a, b, 0.5)
+            self.medians, q25, q75 = _nan_median_quartiles(X)
         # all-NaN columns: nanmedian/nanpercentile return NaN; treat as 0/1
         self.medians = np.where(np.isnan(self.medians), 0.0, self.medians)
         iqrs = q75 - q25
@@ -87,7 +130,10 @@ def preprocess_features(
 
     X = np.full((len(df), len(feature_cols)), np.nan, dtype=np.float64)
     present = [(j, c) for j, c in enumerate(feature_cols) if c in df.columns]
-    if all(pd.api.types.is_numeric_dtype(df[c]) for _, c in present):
+    # check dtypes, not df[c] Series: is_numeric_dtype(df[c]) materializes
+    # a Series per column (~35 per fold on the CV hot path)
+    dtypes = df.dtypes
+    if all(pd.api.types.is_numeric_dtype(dtypes[c]) for _, c in present):
         # fast path: one block gather — to_numeric is the identity on
         # already-numeric dtypes, and the per-column loop costs ~35
         # pandas calls per fold on the CV hot path

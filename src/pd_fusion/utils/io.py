@@ -43,9 +43,15 @@ def load_yaml(path: Path) -> Dict[str, Any]:
         return yaml.load(f, Loader=yaml.UnsafeLoader)
 
 
+# _to_plain guarantees pure-Python trees, so the libyaml C emitter is
+# safe and ~10x faster than the pure-Python Dumper (yaml.dump was the
+# single largest host cost in a warm CV run: ~50 ms of a ~350 ms wall)
+_DUMPER = getattr(yaml, "CSafeDumper", yaml.SafeDumper)
+
+
 def save_yaml(data: Dict[str, Any], path: Path):
     with open(path, "w") as f:
-        yaml.dump(_to_plain(data), f, default_flow_style=False)
+        yaml.dump(_to_plain(data), f, default_flow_style=False, Dumper=_DUMPER)
 
 
 def save_pickle(obj: Any, path: Path):

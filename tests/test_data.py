@@ -1,5 +1,7 @@
 """Data-plane unit tests (modeled on reference tests/test_pd_fusion.py plus
 stronger kernel-level checks)."""
+import warnings
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -82,6 +84,43 @@ def test_nan_robust_scaler_matches_numpy_oracle():
     # NaNs become 0 (documented deviation = the reference's stated intent)
     assert np.allclose(got[~np.isnan(X)], expect[~np.isnan(X)], atol=1e-5)
     assert (got[np.isnan(X)] == 0).all()
+
+
+def test_nan_median_quartiles_bitwise_matches_numpy():
+    """The shared-sort fit statistics must be BIT-identical to numpy's
+    nanmedian/nanpercentile (incl. lerp branch, ceil upper index, empty
+    columns, even/odd valid counts, integral quantile positions)."""
+    from pd_fusion.data.preprocess import _nan_median_quartiles
+
+    rng = np.random.RandomState(7)
+    cases = []
+    X = rng.randn(100, 8) * 3 + 1
+    X[rng.rand(100, 8) < 0.3] = np.nan
+    cases.append(X)
+    X2 = rng.randn(37, 6)  # odd rows, some columns NaN-free
+    X2[rng.rand(37, 6) < 0.5] = np.nan
+    X2[:, 0] = rng.randn(37)  # no NaNs
+    X2[:, 1] = np.nan  # all NaN
+    X2[1:, 2] = np.nan  # single valid value
+    cases.append(X2)
+    # n-1 divisible by 4: integral quantile positions (t == 0)
+    cases.append(rng.randn(5, 4))
+    cases.append(rng.randn(9, 4))
+    # ties + duplicated values (zero IQR downstream) + subnormals
+    X5 = np.repeat(rng.randn(1, 5), 20, axis=0)
+    X5[::3, 2] = np.nan
+    cases.append(X5)
+    cases.append(rng.randn(50, 3) * 1e-310)
+    for i, Xc in enumerate(cases):
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # numpy warns on all-NaN slices
+            med, q25, q75 = _nan_median_quartiles(Xc)
+            ref_med = np.nanmedian(Xc, axis=0)
+            ref_q25, ref_q75 = np.nanpercentile(Xc, [25, 75], axis=0)
+        for got, ref, name in ((med, ref_med, "med"), (q25, ref_q25, "q25"), (q75, ref_q75, "q75")):
+            assert got.dtype == ref.dtype, (i, name)
+            same = (got == ref) | (np.isnan(got) & np.isnan(ref))
+            assert same.all(), (i, name, got, ref)
 
 
 def test_preprocess_missing_columns_become_zeros():
