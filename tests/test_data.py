@@ -111,6 +111,7 @@ def test_nan_median_quartiles_bitwise_matches_numpy():
     X5[::3, 2] = np.nan
     cases.append(X5)
     cases.append(rng.randn(50, 3) * 1e-310)
+    cases.append(rng.randn(6, 4) * 1e308)  # even-count (a+b)/2 overflow edge
     for i, Xc in enumerate(cases):
         with np.errstate(all="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore")  # numpy warns on all-NaN slices
