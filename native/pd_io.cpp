@@ -20,9 +20,13 @@
 #include <limits>
 #include <memory>
 #include <mutex>
+#include <type_traits>
 #include <zlib.h>
 #ifdef PD_HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
+#ifdef __AVX512F__
+#include <immintrin.h>
 #endif
 
 namespace {
@@ -146,6 +150,12 @@ bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_
 template <typename T>
 void convert_to_f32(const uint8_t* src, int64_t count, bool swap, float* dst) {
   const T* p = reinterpret_cast<const T*>(src);
+  if (!swap && std::is_integral<T>::value) {
+    // integer sources can never be non-finite; the bare widening loop
+    // auto-vectorizes (the std::isfinite call below does not at -O3)
+    for (int64_t i = 0; i < count; ++i) dst[i] = static_cast<float>(p[i]);
+    return;
+  }
   for (int64_t i = 0; i < count; ++i) {
     T v = p[i];
     if (swap) {
@@ -262,6 +272,16 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
   const int64_t in_s0 = i1 * i2, in_s1 = i2;
   const int64_t out_s0 = o1 * o2, out_s1 = o2;
 
+#ifdef __AVX512F__
+  // 32-bit copies of the inner-axis coordinate tables for vector gathers
+  // (c0/c1 always fit: volume extents are far below 2^31).
+  std::vector<int32_t> c0_32(o2), c1_32(o2);
+  for (int64_t c = 0; c < o2; ++c) {
+    c0_32[c] = static_cast<int32_t>(l2[c]);
+    c1_32[c] = static_cast<int32_t>((i2 > 1) ? l2[c] + 1 : l2[c]);
+  }
+#endif
+
   std::mutex merge_mu;
   auto work = [&](int64_t z_begin, int64_t z_end) {
     // thread-local maxima merged under a lock after the sweep
@@ -274,6 +294,10 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
       lmax_c.assign(o2, NEG_INF);
       if (hist) lhist.assign(65536, 0);
     }
+#ifdef __AVX512F__
+    // staging row for histogram indices compressed out of the vector loop
+    std::vector<uint32_t> rowbits(TRACK_MAX && hist ? o2 : 0);
+#endif
     for (int64_t a = z_begin; a < z_end; ++a) {
       const int64_t a0 = l0[a];
       const float ta = t0[a];
@@ -290,6 +314,63 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
         const float* p11 = in + a1 * in_s0 + b1 * in_s1;
         float bmax = NEG_INF;
         float* lc = TRACK_MAX ? lmax_c.data() : nullptr;
+#ifdef __AVX512F__
+        // 16-lane gather + lerp chain; each lane performs the scalar
+        // path's arithmetic (FMA-contracted like the -O3 scalar build;
+        // consumers compare at f32-eps tolerance, not bitwise).
+        {
+          const __m512 vtb = _mm512_set1_ps(tb), vrtb = _mm512_set1_ps(1.0f - tb);
+          const __m512 vta = _mm512_set1_ps(ta), vrta = _mm512_set1_ps(1.0f - ta);
+          const __m512 vzero = _mm512_setzero_ps();
+          const __m512 vneginf = _mm512_set1_ps(NEG_INF);
+          __m512 vbmax = vneginf;
+          int64_t nrow = 0;
+          for (int64_t c = 0; c < o2; c += 16) {
+            const __mmask16 m = (o2 - c >= 16)
+                ? static_cast<__mmask16>(0xFFFF)
+                : static_cast<__mmask16>((1u << (o2 - c)) - 1);
+            const __m512i vi0 = _mm512_maskz_loadu_epi32(m, c0_32.data() + c);
+            const __m512i vi1 = _mm512_maskz_loadu_epi32(m, c1_32.data() + c);
+            const __m512 vtc = _mm512_maskz_loadu_ps(m, t2.data() + c);
+            const __m512 vrtc = _mm512_sub_ps(_mm512_set1_ps(1.0f), vtc);
+            auto lerp_row = [&](const float* p) {
+              const __m512 g0 = _mm512_mask_i32gather_ps(vzero, m, vi0, p, 4);
+              const __m512 g1 = _mm512_mask_i32gather_ps(vzero, m, vi1, p, 4);
+              return _mm512_fmadd_ps(g1, vtc, _mm512_mul_ps(g0, vrtc));
+            };
+            const __m512 v00 = lerp_row(p00);
+            const __m512 v01 = lerp_row(p01);
+            const __m512 v10 = lerp_row(p10);
+            const __m512 v11 = lerp_row(p11);
+            const __m512 v0 = _mm512_fmadd_ps(v01, vtb, _mm512_mul_ps(v00, vrtb));
+            const __m512 v1 = _mm512_fmadd_ps(v11, vtb, _mm512_mul_ps(v10, vrtb));
+            const __m512 v = _mm512_fmadd_ps(v1, vta, _mm512_mul_ps(v0, vrta));
+            _mm512_mask_storeu_ps(dst + c, m, v);
+            if (TRACK_MAX) {
+              const __m512 cur = _mm512_mask_loadu_ps(vneginf, m, lc + c);
+              _mm512_mask_storeu_ps(lc + c, m, _mm512_max_ps(cur, v));
+              vbmax = _mm512_mask_max_ps(vbmax, m, vbmax, v);
+              if (hist) {
+                // positive lanes -> top-16-bit bucket ids, compressed into
+                // the staging row (replaces the scalar second row sweep)
+                const __mmask16 mp =
+                    _mm512_mask_cmp_ps_mask(m, v, vzero, _CMP_GT_OQ);
+                const __m512i vb =
+                    _mm512_srli_epi32(_mm512_castps_si512(v), 16);
+                _mm512_mask_compressstoreu_epi32(rowbits.data() + nrow, mp, vb);
+                nrow += __builtin_popcount(mp);
+              }
+            }
+          }
+          if (TRACK_MAX) {
+            bmax = _mm512_reduce_max_ps(vbmax);
+            if (hist) {
+              for (int64_t r = 0; r < nrow; ++r) ++lhist[rowbits[r]];
+              ln_pos += nrow;
+            }
+          }
+        }
+#else
         for (int64_t c = 0; c < o2; ++c) {
           const int64_t c0 = l2[c];
           const float tc = t2[c];
@@ -307,9 +388,11 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
             bmax = bmax > v ? bmax : v;
           }
         }
+#endif
         if (TRACK_MAX) {
           lmax_b[b] = lmax_b[b] > bmax ? lmax_b[b] : bmax;
           amax = amax > bmax ? amax : bmax;
+#ifndef __AVX512F__
           if (hist) {
             // second, scalar sweep over the row while it is still in L1
             for (int64_t c = 0; c < o2; ++c) {
@@ -322,6 +405,7 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
               }
             }
           }
+#endif
         }
       }
       if (TRACK_MAX) max_a[a] = amax;  // `a` ranges are disjoint per thread
@@ -571,6 +655,45 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
       for (int s = 0; s < r; ++s) dup = dup || rank_bucket[s] == rank_bucket[r];
       if (!dup) members[r].reserve(hist[rank_bucket[r]]);
     }
+#ifdef __AVX512F__
+    {
+      // distinct buckets (<= 4): one vector compare + compress-store per
+      // bucket per 16 lanes — replaces the scalar lookup-table walk
+      int n_distinct = 0;
+      uint32_t dbuck[4];
+      int dslot[4];
+      for (int r = 0; r < n_ranks; ++r) {
+        bool dup = false;
+        for (int s = 0; s < n_distinct; ++s) dup = dup || dbuck[s] == rank_bucket[r];
+        if (!dup) {
+          dbuck[n_distinct] = rank_bucket[r];
+          dslot[n_distinct] = r;
+          members[r].resize(hist[rank_bucket[r]]);
+          ++n_distinct;
+        }
+      }
+      int64_t fill[4] = {0, 0, 0, 0};
+      const __m512 vzero = _mm512_setzero_ps();
+      for (int64_t i = 0; i < count; i += 16) {
+        const __mmask16 m = (count - i >= 16)
+            ? static_cast<__mmask16>(0xFFFF)
+            : static_cast<__mmask16>((1u << (count - i)) - 1);
+        const __m512 v = _mm512_maskz_loadu_ps(m, vol + i);
+        const __mmask16 mp = _mm512_mask_cmp_ps_mask(m, v, vzero, _CMP_GT_OQ);
+        if (!mp) continue;
+        const __m512i vb = _mm512_srli_epi32(_mm512_castps_si512(v), 16);
+        for (int u = 0; u < n_distinct; ++u) {
+          const __mmask16 ms = _mm512_mask_cmpeq_epi32_mask(
+              mp, vb, _mm512_set1_epi32(static_cast<int32_t>(dbuck[u])));
+          if (ms) {
+            _mm512_mask_compressstoreu_ps(members[dslot[u]].data() + fill[u], ms, v);
+            fill[u] += __builtin_popcount(ms);
+          }
+        }
+      }
+      for (int u = 0; u < n_distinct; ++u) members[dslot[u]].resize(fill[u]);
+    }
+#else
     for (int64_t i = 0; i < count; ++i) {
       float v = vol[i];
       if (v > 0.0f) {
@@ -587,6 +710,7 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
         }
       }
     }
+#endif
     auto select_rank = [&](int r) -> float {
       // find the slot whose bucket matches (members stored at first use)
       int slot = r;
