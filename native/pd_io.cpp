@@ -104,7 +104,11 @@ bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_
     if (read_ok) {
       if (libdeflate_decompressor* d = libdeflate_alloc_decompressor()) {
         size_t cap = hint ? hint : comp_n * 4;
-        out.reset(new uint8_t[cap]);
+        // +8 tail pad: the int16 resize fast path gathers 32-bit words at
+        // scale 2, so the final element's gather reads 2 bytes past the
+        // data (the garbage is shifted out of the lane, but the bytes
+        // must be readable)
+        out.reset(new uint8_t[cap + 8]);
         size_t in_pos = 0, out_pos = 0;
         bool ok = true;
         // loop over gzip members (NIfTI is single-member; be robust)
@@ -116,7 +120,7 @@ bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_
               out.get() + out_pos, cap - out_pos, &in_used, &out_used);
           if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
             size_t new_cap = cap * 2;
-            std::unique_ptr<uint8_t[]> bigger(new uint8_t[new_cap]);
+            std::unique_ptr<uint8_t[]> bigger(new uint8_t[new_cap + 8]);
             std::memcpy(bigger.get(), out.get(), out_pos);
             out = std::move(bigger);
             cap = new_cap;
@@ -142,7 +146,7 @@ bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_
   std::vector<uint8_t> buf;
   if (!read_gz_zlib(path, hint, buf)) return false;
   out_n = buf.size();
-  out.reset(new uint8_t[out_n]);
+  out.reset(new uint8_t[out_n + 8]);  // same +8 gather tail pad
   std::memcpy(out.get(), buf.data(), out_n);
   return true;
 }
@@ -236,8 +240,15 @@ inline int32_t rd_i32(const uint8_t* p, bool swap) {
 // path's percentile select needs (top-16 float bits; hist[65536] and
 // n_pos, caller zero-initialised) — the rows are L1-resident right
 // after being written, so this replaces a separate full-volume stream.
-template <bool TRACK_MAX>
-void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
+//
+// TSrc may be float (the classic path), int16_t, or uint16_t: NIfTI
+// int16/uint16 volumes (the common T1w case) resize straight from the
+// inflated bytes, converting per-gather in-register. int->f32
+// conversion is exact, so the results are BIT-IDENTICAL to converting
+// the whole volume first — the full-volume f32 scratch and its
+// convert pass just disappear.
+template <bool TRACK_MAX, typename TSrc = float>
+void resize3d_impl(const TSrc* in, int64_t i0, int64_t i1, int64_t i2,
                    float* out, int64_t o0, int64_t o1, int64_t o2,
                    int n_threads, float* max_a, float* max_b, float* max_c,
                    uint32_t* hist = nullptr, int64_t* n_pos = nullptr) {
@@ -308,10 +319,10 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
         const float tb = t1[b];
         const int64_t b1 = (i1 > 1) ? b0 + 1 : b0;
         float* dst = out + a * out_s0 + b * out_s1;
-        const float* p00 = in + a0 * in_s0 + b0 * in_s1;
-        const float* p01 = in + a0 * in_s0 + b1 * in_s1;
-        const float* p10 = in + a1 * in_s0 + b0 * in_s1;
-        const float* p11 = in + a1 * in_s0 + b1 * in_s1;
+        const TSrc* p00 = in + a0 * in_s0 + b0 * in_s1;
+        const TSrc* p01 = in + a0 * in_s0 + b1 * in_s1;
+        const TSrc* p10 = in + a1 * in_s0 + b0 * in_s1;
+        const TSrc* p11 = in + a1 * in_s0 + b1 * in_s1;
         float bmax = NEG_INF;
         float* lc = TRACK_MAX ? lmax_c.data() : nullptr;
 #ifdef __AVX512F__
@@ -333,9 +344,29 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
             const __m512i vi1 = _mm512_maskz_loadu_epi32(m, c1_32.data() + c);
             const __m512 vtc = _mm512_maskz_loadu_ps(m, t2.data() + c);
             const __m512 vrtc = _mm512_sub_ps(_mm512_set1_ps(1.0f), vtc);
-            auto lerp_row = [&](const float* p) {
-              const __m512 g0 = _mm512_mask_i32gather_ps(vzero, m, vi0, p, 4);
-              const __m512 g1 = _mm512_mask_i32gather_ps(vzero, m, vi1, p, 4);
+            auto lerp_row = [&](const TSrc* p) {
+              __m512 g0, g1;
+              if constexpr (std::is_same<TSrc, float>::value) {
+                g0 = _mm512_mask_i32gather_ps(vzero, m, vi0, p, 4);
+                g1 = _mm512_mask_i32gather_ps(vzero, m, vi1, p, 4);
+              } else {
+                // 16-bit elements: 32-bit gathers at scale 2 pull the
+                // target and its neighbour; the neighbour (or the tail
+                // pad byte at the buffer end) is masked/shifted out
+                const __m512i zi = _mm512_setzero_si512();
+                const __m512i r0 = _mm512_mask_i32gather_epi32(zi, m, vi0, p, 2);
+                const __m512i r1 = _mm512_mask_i32gather_epi32(zi, m, vi1, p, 2);
+                if constexpr (std::is_same<TSrc, int16_t>::value) {
+                  g0 = _mm512_cvtepi32_ps(
+                      _mm512_srai_epi32(_mm512_slli_epi32(r0, 16), 16));
+                  g1 = _mm512_cvtepi32_ps(
+                      _mm512_srai_epi32(_mm512_slli_epi32(r1, 16), 16));
+                } else {  // uint16_t
+                  const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
+                  g0 = _mm512_cvtepu32_ps(_mm512_and_si512(r0, lo16));
+                  g1 = _mm512_cvtepu32_ps(_mm512_and_si512(r1, lo16));
+                }
+              }
               return _mm512_fmadd_ps(g1, vtc, _mm512_mul_ps(g0, vrtc));
             };
             const __m512 v00 = lerp_row(p00);
@@ -375,10 +406,10 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
           const int64_t c0 = l2[c];
           const float tc = t2[c];
           const int64_t c1 = (i2 > 1) ? c0 + 1 : c0;
-          const float v00 = p00[c0] * (1 - tc) + p00[c1] * tc;
-          const float v01 = p01[c0] * (1 - tc) + p01[c1] * tc;
-          const float v10 = p10[c0] * (1 - tc) + p10[c1] * tc;
-          const float v11 = p11[c0] * (1 - tc) + p11[c1] * tc;
+          const float v00 = static_cast<float>(p00[c0]) * (1 - tc) + static_cast<float>(p00[c1]) * tc;
+          const float v01 = static_cast<float>(p01[c0]) * (1 - tc) + static_cast<float>(p01[c1]) * tc;
+          const float v10 = static_cast<float>(p10[c0]) * (1 - tc) + static_cast<float>(p10[c1]) * tc;
+          const float v11 = static_cast<float>(p11[c0]) * (1 - tc) + static_cast<float>(p11[c1]) * tc;
           const float v0 = v00 * (1 - tb) + v01 * tb;
           const float v1 = v10 * (1 - tb) + v11 * tb;
           const float v = v0 * (1 - ta) + v1 * ta;
@@ -440,6 +471,123 @@ void resize3d_impl(const float* in, int64_t i0, int64_t i1, int64_t i2,
   for (auto& th : threads) th.join();
 }
 
+// Parsed NIfTI-1 file: header fields + (unless header_only) the whole
+// inflated byte buffer, so callers can convert OR resize straight from
+// the typed voxel bytes.
+struct ParsedNifti {
+  std::unique_ptr<uint8_t[]> raw;
+  size_t raw_n = 0;
+  int64_t dims[3] = {1, 1, 1};
+  int64_t count = 1;
+  bool swap = false;
+  int16_t datatype = 0;
+  size_t elem = 0;
+  size_t offset = 352;
+  float scl_slope = 0.0f, scl_inter = 0.0f;
+  bool needs_scale = false;  // whether the scl_slope/inter pass applies
+  const uint8_t* data() const { return raw.get() + offset; }
+};
+
+// Shared reader+parser behind pd_read_nifti / pd_prep_slices /
+// pd_read_resize_nifti. Returns the public API's error codes.
+int parse_nifti(const char* path, bool header_only, ParsedNifti& pn) {
+  if (header_only) {
+    // inflate just the first block instead of the whole file
+    gzFile f = gzopen(path, "rb");
+    if (!f) return 1;
+    pn.raw.reset(new uint8_t[352]);
+    int n = gzread(f, pn.raw.get(), 352);
+    gzclose(f);
+    if (n < 348) return 2;
+    pn.raw_n = static_cast<size_t>(n);
+  } else if (!read_file_maybe_gz(path, pn.raw, pn.raw_n)) {
+    return 1;
+  }
+  if (pn.raw_n < 348) return 2;
+  const uint8_t* h = pn.raw.get();
+
+  pn.swap = false;
+  int32_t sizeof_hdr = rd_i32(h, false);
+  if (sizeof_hdr != 348) {
+    if (rd_i32(h, true) == 348) {
+      pn.swap = true;
+    } else {
+      return 3;  // not NIfTI-1
+    }
+  }
+  if (!(std::memcmp(h + 344, "n+1", 3) == 0 || std::memcmp(h + 344, "ni1", 3) == 0)) {
+    return 4;
+  }
+
+  int16_t ndim = rd_i16(h + 40, pn.swap);
+  if (ndim < 1 || ndim > 7) return 5;
+  int64_t shape[7] = {1, 1, 1, 1, 1, 1, 1};
+  pn.count = 1;
+  for (int i = 0; i < ndim; ++i) {
+    shape[i] = rd_i16(h + 42 + 2 * i, pn.swap);
+    if (shape[i] <= 0) shape[i] = 1;
+    pn.count *= shape[i];
+  }
+  for (int i = 0; i < 3; ++i) pn.dims[i] = (i < ndim) ? shape[i] : 1;
+  if (ndim > 3) {
+    // collapse trailing singleton dims; reject true 4-D+ volumes
+    for (int i = 3; i < ndim; ++i) {
+      if (shape[i] != 1) return 6;
+    }
+  }
+
+  pn.datatype = rd_i16(h + 70, pn.swap);
+  float vox_offset = rd_f32(h + 108, pn.swap);
+  pn.scl_slope = rd_f32(h + 112, pn.swap);
+  pn.scl_inter = rd_f32(h + 116, pn.swap);
+  pn.offset = static_cast<size_t>(vox_offset);
+  if (pn.offset < 352) pn.offset = 352;
+
+  switch (pn.datatype) {
+    case 2: pn.elem = 1; break;    // uint8
+    case 4: pn.elem = 2; break;    // int16
+    case 8: pn.elem = 4; break;    // int32
+    case 16: pn.elem = 4; break;   // float32
+    case 64: pn.elem = 8; break;   // float64
+    case 256: pn.elem = 1; break;  // int8
+    case 512: pn.elem = 2; break;  // uint16
+    case 768: pn.elem = 4; break;  // uint32
+    default: return 7;
+  }
+  if (!header_only && pn.raw_n < pn.offset + pn.count * pn.elem) return 8;
+
+  bool has_slope =
+      std::isfinite(pn.scl_slope) && pn.scl_slope != 0.0f && pn.scl_slope != 1.0f;
+  bool has_inter = std::isfinite(pn.scl_inter) && pn.scl_inter != 0.0f;
+  pn.needs_scale = has_slope || (has_inter && pn.scl_slope == 1.0f);
+  return 0;
+}
+
+// Typed voxel bytes -> scaled float32 (the pd_read_nifti output pass).
+void convert_and_scale(const ParsedNifti& pn, float* out) {
+  const uint8_t* data = pn.data();
+  const int64_t count = pn.count;
+  switch (pn.datatype) {
+    case 2: convert_to_f32<uint8_t>(data, count, false, out); break;
+    case 4: convert_to_f32<int16_t>(data, count, pn.swap, out); break;
+    case 8: convert_to_f32<int32_t>(data, count, pn.swap, out); break;
+    case 16: convert_to_f32<float>(data, count, pn.swap, out); break;
+    case 64: convert_to_f32<double>(data, count, pn.swap, out); break;
+    case 256: convert_to_f32<int8_t>(data, count, false, out); break;
+    case 512: convert_to_f32<uint16_t>(data, count, pn.swap, out); break;
+    case 768: convert_to_f32<uint32_t>(data, count, pn.swap, out); break;
+  }
+  bool has_slope =
+      std::isfinite(pn.scl_slope) && pn.scl_slope != 0.0f && pn.scl_slope != 1.0f;
+  bool has_inter = std::isfinite(pn.scl_inter) && pn.scl_inter != 0.0f;
+  if (has_slope) {
+    float inter = has_inter ? pn.scl_inter : 0.0f;
+    for (int64_t i = 0; i < count; ++i) out[i] = out[i] * pn.scl_slope + inter;
+  } else if (has_inter && pn.scl_slope == 1.0f) {
+    for (int64_t i = 0; i < count; ++i) out[i] += pn.scl_inter;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -449,96 +597,19 @@ extern "C" {
 // NaN/Inf -> 0). Call once with out == null to get dims, then again with
 // a buffer of product(dims) floats.
 int pd_read_nifti(const char* path, int64_t* dims, float* out) {
-  std::unique_ptr<uint8_t[]> raw;
-  size_t raw_n = 0;
-  if (out == nullptr) {
-    // header-only: inflate just the first block instead of the whole file
-    gzFile f = gzopen(path, "rb");
-    if (!f) return 1;
-    raw.reset(new uint8_t[352]);
-    int n = gzread(f, raw.get(), 352);
-    gzclose(f);
-    if (n < 348) return 2;
-    raw_n = static_cast<size_t>(n);
-  } else if (!read_file_maybe_gz(path, raw, raw_n)) {
-    return 1;
-  }
-  if (raw_n < 348) return 2;
-  const uint8_t* h = raw.get();
-
-  bool swap = false;
-  int32_t sizeof_hdr = rd_i32(h, false);
-  if (sizeof_hdr != 348) {
-    if (rd_i32(h, true) == 348) {
-      swap = true;
-    } else {
-      return 3;  // not NIfTI-1
+  ParsedNifti pn;
+  if (int rc = parse_nifti(path, out == nullptr, pn)) {
+    // the header-only probe does not validate datatype/size fields the
+    // full read needs; keep its historical (dims-only) error surface
+    if (out == nullptr && (rc == 7 || rc == 8)) {
+      for (int i = 0; i < 3; ++i) dims[i] = pn.dims[i];
+      return 0;
     }
+    return rc;
   }
-  if (!(std::memcmp(h + 344, "n+1", 3) == 0 || std::memcmp(h + 344, "ni1", 3) == 0)) {
-    return 4;
-  }
-
-  int16_t ndim = rd_i16(h + 40, swap);
-  if (ndim < 1 || ndim > 7) return 5;
-  int64_t shape[7] = {1, 1, 1, 1, 1, 1, 1};
-  int64_t count = 1;
-  for (int i = 0; i < ndim; ++i) {
-    shape[i] = rd_i16(h + 42 + 2 * i, swap);
-    if (shape[i] <= 0) shape[i] = 1;
-    count *= shape[i];
-  }
-  for (int i = 0; i < 3; ++i) dims[i] = (i < ndim) ? shape[i] : 1;
-  if (ndim > 3) {
-    // collapse trailing singleton dims; reject true 4-D+ volumes
-    for (int i = 3; i < ndim; ++i) {
-      if (shape[i] != 1) return 6;
-    }
-  }
+  for (int i = 0; i < 3; ++i) dims[i] = pn.dims[i];
   if (out == nullptr) return 0;
-
-  int16_t datatype = rd_i16(h + 70, swap);
-  float vox_offset = rd_f32(h + 108, swap);
-  float scl_slope = rd_f32(h + 112, swap);
-  float scl_inter = rd_f32(h + 116, swap);
-
-  size_t offset = static_cast<size_t>(vox_offset);
-  if (offset < 352) offset = 352;
-
-  size_t elem = 0;
-  switch (datatype) {
-    case 2: elem = 1; break;    // uint8
-    case 4: elem = 2; break;    // int16
-    case 8: elem = 4; break;    // int32
-    case 16: elem = 4; break;   // float32
-    case 64: elem = 8; break;   // float64
-    case 256: elem = 1; break;  // int8
-    case 512: elem = 2; break;  // uint16
-    case 768: elem = 4; break;  // uint32
-    default: return 7;
-  }
-  if (raw_n < offset + count * elem) return 8;
-  const uint8_t* data = raw.get() + offset;
-
-  switch (datatype) {
-    case 2: convert_to_f32<uint8_t>(data, count, false, out); break;
-    case 4: convert_to_f32<int16_t>(data, count, swap, out); break;
-    case 8: convert_to_f32<int32_t>(data, count, swap, out); break;
-    case 16: convert_to_f32<float>(data, count, swap, out); break;
-    case 64: convert_to_f32<double>(data, count, swap, out); break;
-    case 256: convert_to_f32<int8_t>(data, count, false, out); break;
-    case 512: convert_to_f32<uint16_t>(data, count, swap, out); break;
-    case 768: convert_to_f32<uint32_t>(data, count, swap, out); break;
-  }
-
-  bool has_slope = std::isfinite(scl_slope) && scl_slope != 0.0f && scl_slope != 1.0f;
-  bool has_inter = std::isfinite(scl_inter) && scl_inter != 0.0f;
-  if (has_slope) {
-    float inter = has_inter ? scl_inter : 0.0f;
-    for (int64_t i = 0; i < count; ++i) out[i] = out[i] * scl_slope + inter;
-  } else if (has_inter && scl_slope == 1.0f) {
-    for (int64_t i = 0; i < count; ++i) out[i] += scl_inter;
-  }
+  convert_and_scale(pn, out);
   return 0;
 }
 
@@ -558,12 +629,29 @@ void pd_resize3d(const float* in, int64_t i0, int64_t i1, int64_t i2,
 // C-order [i2, i1, i0] and resizes in that layout, which is equivalent.
 int pd_read_resize_nifti(const char* path, int64_t t0, int64_t t1, int64_t t2,
                          float* out, int n_threads) {
-  int64_t dims[3];
-  if (int rc = pd_read_nifti(path, dims, nullptr)) return rc;
-  std::vector<float> vol(static_cast<size_t>(dims[0]) * dims[1] * dims[2]);
-  if (int rc = pd_read_nifti(path, dims, vol.data())) return rc;
+  ParsedNifti pn;
+  if (int rc = parse_nifti(path, false, pn)) return rc;
   // Fortran [x,y,z] buffer == C-order [z,y,x]; resize with reversed dims.
-  pd_resize3d(vol.data(), dims[2], dims[1], dims[0], out, t2, t1, t0, n_threads);
+  const int64_t i0 = pn.dims[2], i1 = pn.dims[1], i2 = pn.dims[0];
+  // 16-bit fast path: resize straight from the inflated bytes (exact —
+  // int->f32 conversion commutes with the f32 lerp arithmetic)
+  const bool direct16 = !pn.swap && !pn.needs_scale && pn.offset % 2 == 0;
+  if (direct16 && pn.datatype == 4) {
+    resize3d_impl<false>(reinterpret_cast<const int16_t*>(pn.data()),
+                         i0, i1, i2, out, t2, t1, t0, n_threads,
+                         nullptr, nullptr, nullptr);
+    return 0;
+  }
+  if (direct16 && pn.datatype == 512) {
+    resize3d_impl<false>(reinterpret_cast<const uint16_t*>(pn.data()),
+                         i0, i1, i2, out, t2, t1, t0, n_threads,
+                         nullptr, nullptr, nullptr);
+    return 0;
+  }
+  // new float[] stays UNinitialized: convert_and_scale overwrites it all
+  std::unique_ptr<float[]> vol(new float[static_cast<size_t>(pn.count)]);
+  convert_and_scale(pn, vol.get());
+  pd_resize3d(vol.get(), i0, i1, i2, out, t2, t1, t0, n_threads);
   return 0;
 }
 
@@ -581,13 +669,8 @@ extern "C" {
 int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
                    const int64_t* axes, const int64_t* counts, int n_axes,
                    float* out, int n_threads) {
-  int64_t dims[3];
-  if (int rc = pd_read_nifti(path, dims, nullptr)) return rc;
-  const size_t raw_n = static_cast<size_t>(dims[0]) * dims[1] * dims[2];
-  // new float[] stays UNinitialized (POD default-init): a std::vector
-  // here memsets ~26 MB that pd_read_nifti immediately overwrites
-  std::unique_ptr<float[]> raw(new float[raw_n]);
-  if (int rc = pd_read_nifti(path, dims, raw.get())) return rc;
+  ParsedNifti pn;
+  if (int rc = parse_nifti(path, false, pn)) return rc;
 
   // Resize with fused per-coordinate RAW maxima (buffer is C-order
   // [t2, t1, t0], so axis a=z/t2, b=y/t1, c=x/t0). The maxima later give
@@ -600,10 +683,32 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   const size_t vol_n = static_cast<size_t>(t0) * t1 * t2;
   std::unique_ptr<float[]> vol_buf(new float[vol_n]);  // fully overwritten by the resize
   float* const vol = vol_buf.get();
-  resize3d_impl<true>(raw.get(), dims[2], dims[1], dims[0], vol, t2, t1, t0,
-                      n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data(),
-                      hist.data(), &n_pos);
-  raw.reset();
+  const int64_t i0 = pn.dims[2], i1 = pn.dims[1], i2 = pn.dims[0];
+  const bool direct16 = !pn.swap && !pn.needs_scale && pn.offset % 2 == 0;
+  if (direct16 && pn.datatype == 4) {
+    // int16 fast path (the common T1w case): resize straight from the
+    // inflated bytes — the full-volume f32 convert pass and its ~26 MB
+    // scratch disappear; int->f32 conversion is exact so the resized
+    // values are bit-identical to the convert-first path
+    resize3d_impl<true>(reinterpret_cast<const int16_t*>(pn.data()),
+                        i0, i1, i2, vol, t2, t1, t0, n_threads,
+                        rawmax2.data(), rawmax1.data(), rawmax0.data(),
+                        hist.data(), &n_pos);
+  } else if (direct16 && pn.datatype == 512) {
+    resize3d_impl<true>(reinterpret_cast<const uint16_t*>(pn.data()),
+                        i0, i1, i2, vol, t2, t1, t0, n_threads,
+                        rawmax2.data(), rawmax1.data(), rawmax0.data(),
+                        hist.data(), &n_pos);
+  } else {
+    // new float[] stays UNinitialized (POD default-init): a std::vector
+    // here memsets ~26 MB that convert_and_scale immediately overwrites
+    std::unique_ptr<float[]> raw(new float[static_cast<size_t>(pn.count)]);
+    convert_and_scale(pn, raw.get());
+    resize3d_impl<true>(raw.get(), i0, i1, i2, vol, t2, t1, t0,
+                        n_threads, rawmax2.data(), rawmax1.data(), rawmax0.data(),
+                        hist.data(), &n_pos);
+  }
+  pn.raw.reset();
   const int64_t count = static_cast<int64_t>(vol_n);
 
   // percentile over the positive mask (numpy 'linear' interpolation),

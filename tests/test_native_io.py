@@ -95,3 +95,69 @@ def test_native_prep_slices_matches_python_mirror_adversarial(tmp_path):
             )
             np.testing.assert_allclose(nat, mirror, rtol=2e-5, atol=2e-6,
                                        err_msg=f"{name} axes={axes}")
+
+
+def test_native_prep_slices_int16_direct_paths(tmp_path):
+    """The 16-bit direct-resize fast path (native/pd_io.cpp pd_prep_slices:
+    int16/uint16 volumes resize straight from the inflated bytes, skipping
+    the full-volume f32 convert) against the python mirror, plus the
+    scl_slope!=1 header case which must fall back to convert-then-resize.
+    Covers the realistic T1w case the bench volumes use (int16, slope 1)."""
+    import struct
+
+    from pd_fusion.imaging.pipeline import (
+        load_volume,
+        normalize_volume_host,
+        select_slices_host,
+    )
+
+    rng = np.random.RandomState(11)
+    shape = (20, 20, 20)
+    vols = {
+        # odd extents exercise the AVX masked-tail lanes; negatives make
+        # the positive-mask percentile non-trivial
+        "i16": (rng.rand(33, 29, 31) * 1200 - 100).astype(np.int16),
+        "u16": (rng.rand(33, 29, 31) * 2400).astype(np.uint16),
+    }
+    for name, vol in vols.items():
+        p = tmp_path / f"{name}.nii.gz"
+        write_nifti(p, vol)
+        nat = native.prep_slices_native(p, shape, [2], [7])
+        assert nat is not None, name
+        normed = normalize_volume_host(load_volume(p, shape))
+        mirror = select_slices_host(normed, 2, 7)
+        np.testing.assert_allclose(nat, mirror, rtol=2e-5, atol=2e-6, err_msg=name)
+
+    # scl_slope/inter set -> the fast path must NOT fire (scaling does not
+    # commute with the lerp in f32); result must still match the mirror
+    import gzip
+
+    p = tmp_path / "i16_scaled.nii.gz"
+    write_nifti(p, vols["i16"])
+    raw = bytearray(gzip.decompress(p.read_bytes()))
+    struct.pack_into("<f", raw, 112, 2.5)  # scl_slope
+    struct.pack_into("<f", raw, 116, -7.0)  # scl_inter
+    p.write_bytes(gzip.compress(bytes(raw)))
+    nat = native.prep_slices_native(p, shape, [2], [7])
+    assert nat is not None
+    normed = normalize_volume_host(load_volume(p, shape))
+    mirror = select_slices_host(normed, 2, 7)
+    np.testing.assert_allclose(nat, mirror, rtol=2e-5, atol=2e-6)
+
+
+def test_native_fused_read_resize_int16(tmp_path):
+    """pd_read_resize_nifti's 16-bit direct path vs python read+resize."""
+    import jax.numpy as jnp
+
+    from pd_fusion.ops.image import resize3d
+
+    rng = np.random.RandomState(12)
+    vol = (rng.rand(17, 21, 15) * 900 - 50).astype(np.int16)
+    p = tmp_path / "v16.nii.gz"
+    write_nifti(p, vol)
+    target = (9, 11, 13)
+    expect = np.asarray(resize3d(jnp.asarray(read_nifti(p)), target))
+    got = native.read_resize_nifti_native(p, target)
+    assert got is not None
+    # values span ~[-50, 850]: the f32 atol scales with the range
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-3)
