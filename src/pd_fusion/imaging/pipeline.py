@@ -315,11 +315,12 @@ def embed_slices_batch(backbone_params, slices, mean, std, arch: str, input_size
     bf16 (2x MXU throughput; accumulation stays f32 via
     preferred_element_type) — embeddings are returned in f32.
 
-    ``slices`` may also be a TUPLE of B [L, h, w] arrays: the pipeline
+    ``slices`` may also be a TUPLE of B [L, h, w] arrays (the pipeline
     ships each subject to the device asynchronously as host prep finishes
-    and stacks on-device here, so relay transfer hides behind prep."""
+    and stacks on-device here, so relay transfer hides behind prep) or a
+    tuple of [g, L, h, w] group blocks (grouped-put transfer mode)."""
     if isinstance(slices, tuple):
-        slices = jnp.stack(slices)
+        slices = jnp.stack(slices) if slices[0].ndim == 3 else jnp.concatenate(slices, axis=0)
     B, L = slices.shape[:2]
     batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
     # fold BN in f32 (rsqrt in bf16 would cost precision), then cast
@@ -339,7 +340,7 @@ def embed_slices_batch_augmented(backbone_params, slices, mean, std, angle, tran
     """TTA variant over a subject batch: per-subject affine + intensity +
     noise fused ahead of the ResNet."""
     if isinstance(slices, tuple):
-        slices = jnp.stack(slices)
+        slices = jnp.stack(slices) if slices[0].ndim == 3 else jnp.concatenate(slices, axis=0)
     B, L = slices.shape[:2]
     aug = jax.vmap(affine2d_batch)(slices, angle, translate)
     aug = jnp.clip(aug * scale[:, None, None, None] + shift[:, None, None, None] + noise, 0.0, 1.0)
@@ -409,6 +410,19 @@ def run_resnet_embedding_pipeline(
     # finishes prep beats fewer relay ops here. Keep as a knob for
     # bad-relay days where per-op RTT dominates.
     stacked_put = bool(os.environ.get("PD_FUSION_STACKED_PUT")) and not raw_mode
+    # PD_FUSION_PUT_GROUP=g: middle ground between the two transfer modes
+    # above — ship GROUPS of g subjects as one [g, L, h, w] device_put
+    # each. Cuts relay ops per 16-subject flush from ~17 to ~B/g + 1
+    # while keeping g-granular transfer/prep overlap (stacked mode gives
+    # up all overlap; per-subject gives up nothing but pays per-op RTT).
+    put_group = 0
+    if not raw_mode and not stacked_put:
+        try:
+            put_group = max(0, int(os.environ.get("PD_FUSION_PUT_GROUP", "0")))
+        except ValueError:
+            put_group = 0
+    if put_group == 1:
+        put_group = 0  # groups of one == per-subject mode
     if raw_mode:
         loader = lambda p: np.ascontiguousarray(native.read_nifti_native(p))
     else:
@@ -447,6 +461,15 @@ def run_resnet_embedding_pipeline(
             if nb <= w:
                 return w
         return B
+
+    # grouped-put mode needs the group to divide every program width so
+    # flush padding stays block-aligned; fall toward the nearest divisor
+    # (1 == per-subject mode)
+    if put_group:
+        while put_group > 1 and any(w % put_group for w in widths):
+            put_group -= 1
+        if put_group <= 1:
+            put_group = 0
 
     # per-flush device outputs, fetched in ONE readback at the end (each
     # individual device->host fetch costs ~50-150 ms through the relay;
@@ -536,10 +559,15 @@ def run_resnet_embedding_pipeline(
                     emb = e if emb is None else emb + e
                 emb = emb / tta
         else:
-            # subjects were device_put as the prefetcher yielded them —
-            # pad the tuple to B (repeating the first entry costs no new
-            # transfer) and stack ON DEVICE inside the jitted program
-            stack = tuple(batch_payload) + (batch_payload[0],) * (W - nb)
+            # subjects (or [g,...] group blocks) were device_put as the
+            # prefetcher yielded them — pad the tuple to the program
+            # width (repeating the first entry costs no new transfer)
+            # and stack/concat ON DEVICE inside the jitted program
+            if put_group:
+                need = W // put_group
+                stack = tuple(batch_payload) + (batch_payload[0],) * (need - len(batch_payload))
+            else:
+                stack = tuple(batch_payload) + (batch_payload[0],) * (W - nb)
             if tta <= 1:
                 emb = embed_slices_batch(
                     backbone_params, stack, mean, std, arch, input_size, per_slice,
@@ -560,26 +588,47 @@ def run_resnet_embedding_pipeline(
         flush_width.append(W)
 
     batch_idx, batch_payload = [], []
+    pending: List[np.ndarray] = []  # host payloads awaiting a grouped put
+
+    def put_pending(final: bool = False):
+        # ship the pending host payloads as ONE [g, L, h, w] transfer;
+        # an incomplete final group is padded with its own first subject
+        # (pad rows land after the real rows and are never read back)
+        if not pending:
+            return
+        blk = pending if not final or len(pending) == put_group else (
+            pending + [pending[0]] * (put_group - len(pending))
+        )
+        batch_payload.append(jax.device_put(np.stack(blk)))
+        pending.clear()
+
     consumed = 0
     for i, payload in it:
         # raw mode batches must share a raw shape (static-shape programs)
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
             flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
-        if not raw_mode and not stacked_put:
-            # start the host->device transfer NOW (async): it rides the
-            # relay while the prefetch threads prep the next subjects
-            payload = jax.device_put(payload)
+        if put_group:
+            pending.append(payload)
+            if len(pending) == put_group:
+                put_pending()
+        else:
+            if not raw_mode and not stacked_put:
+                # start the host->device transfer NOW (async): it rides the
+                # relay while the prefetch threads prep the next subjects
+                payload = jax.device_put(payload)
+            batch_payload.append(payload)
         batch_idx.append(i)
-        batch_payload.append(payload)
         consumed += 1
         # full batch, or tail-split point: flush early so exactly tail_w
         # subjects remain for the final (small, cheap) program while this
         # flush's device time hides under their host prep
         if len(batch_idx) == B or (tail_w and n - consumed == tail_w):
+            put_pending(final=True)
             flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
     if batch_idx:
+        put_pending(final=True)
         flush(batch_idx, batch_payload)
 
     # single device-side concat + ONE host fetch for every embedding.

@@ -411,7 +411,13 @@ def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
     # flush instead of per-subject puts) must be value-identical too
     monkeypatch.setenv("PD_FUSION_STACKED_PUT", "1")
     stacked = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
-    assert len(single) == len(split) == len(stacked) == 11
-    for s, t, u in zip(single, split, stacked):
+    # grouped-put mode ([g, ...] blocks, one put per group; 11 subjects
+    # at g=2 exercise the incomplete-final-group padding) likewise
+    monkeypatch.delenv("PD_FUSION_STACKED_PUT")
+    monkeypatch.setenv("PD_FUSION_PUT_GROUP", "2")
+    grouped = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    assert len(single) == len(split) == len(stacked) == len(grouped) == 11
+    for s, t, u, v in zip(single, split, stacked, grouped):
         np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=5e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(t), np.asarray(u), atol=5e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(v), atol=5e-5, rtol=1e-5)
