@@ -14,6 +14,9 @@ def test_native_read_matches_python(tmp_path):
         ("f32.nii", rng.rand(11, 13, 9).astype(np.float32)),
         ("f32.nii.gz", rng.rand(12, 8, 10).astype(np.float32)),
         ("i16.nii.gz", (rng.rand(7, 9, 8) * 500).astype(np.int16)),
+        ("f64.nii.gz", rng.rand(6, 7, 5).astype(np.float64)),
+        ("u8.nii.gz", (rng.rand(7, 6, 9) * 250).astype(np.uint8)),
+        ("i32.nii.gz", (rng.rand(5, 8, 7) * 9000 - 200).astype(np.int32)),
     ):
         p = tmp_path / name
         write_nifti(p, arr)
