@@ -1,16 +1,18 @@
 """A/B the embed pipeline's host->device transfer strategy on real hardware.
 
-Two candidates for shipping a flush's subjects to the device
+Three candidates for shipping a flush's subjects to the device
 (imaging/pipeline.py, slices mode):
 
 - per-subject (default): each subject is jax.device_put as host prep
   finishes (earliest possible transfer start; W relay ops + W-ary dispatch)
 - stacked (PD_FUSION_STACKED_PUT=1): one host stack + ONE async
   device_put per flush (~2 relay ops per flush)
+- grouped (PD_FUSION_PUT_GROUP=g): one [g, L, h, w] device_put per
+  g-subject block (W/g + 1 relay ops, g-granular transfer/prep overlap)
 
-Runs the 16-volume bench embed leg N times per mode, interleaved A/B/A/B
-so relay-weather drift hits both arms equally, and prints min/median.
-Usage: timeout 560 python scripts/ab_stacked_put.py [reps]
+Runs the 16-volume bench embed leg N times per mode, interleaved
+A/B/C/A/B/C so relay-weather drift hits all arms equally, and prints
+min/median. Usage: timeout 560 python scripts/ab_stacked_put.py [reps]
 """
 import os
 import statistics
@@ -18,6 +20,18 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODES = {
+    "per_subject": {},
+    "stacked": {"PD_FUSION_STACKED_PUT": "1"},
+    "grouped4": {"PD_FUSION_PUT_GROUP": "4"},
+}
+
+
+def _set_mode(env):
+    for k in ("PD_FUSION_STACKED_PUT", "PD_FUSION_PUT_GROUP"):
+        os.environ.pop(k, None)
+    os.environ.update(env)
 
 
 def main():
@@ -33,18 +47,17 @@ def main():
     mean = np.array([0.5, 0.5, 0.5], np.float32)
     std = np.array([0.5, 0.5, 0.5], np.float32)
 
-    # warm both modes' programs
-    os.environ.pop("PD_FUSION_STACKED_PUT", None)
-    run_embed_once(paths, params, mean, std)
-    os.environ["PD_FUSION_STACKED_PUT"] = "1"
-    run_embed_once(paths, params, mean, std)
+    # warm every mode's programs
+    for env in MODES.values():
+        _set_mode(env)
+        run_embed_once(paths, params, mean, std)
 
-    walls = {"per_subject": [], "stacked": []}
+    walls = {mode: [] for mode in MODES}
     for _ in range(reps):
-        os.environ.pop("PD_FUSION_STACKED_PUT", None)
-        walls["per_subject"].append(run_embed_once(paths, params, mean, std))
-        os.environ["PD_FUSION_STACKED_PUT"] = "1"
-        walls["stacked"].append(run_embed_once(paths, params, mean, std))
+        for mode, env in MODES.items():
+            _set_mode(env)
+            walls[mode].append(run_embed_once(paths, params, mean, std))
+    _set_mode({})
     for mode, w in walls.items():
         print(
             f"{mode:12s} min {min(w):.3f}s  median {statistics.median(w):.3f}s  "
