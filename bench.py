@@ -281,12 +281,56 @@ def measure_embed_stages(paths, params, mean, std):
     return stages
 
 
+def _probe_device():
+    import jax
+    import jax.numpy as jnp
+
+    jnp.ones((8, 8)).sum().block_until_ready()  # noqa: B018
+
+
+def wait_for_device(max_wait_s: float = 600.0, probe_timeout_s: float = 75.0) -> bool:
+    """The axon relay has been observed to go FULLY unreachable for over
+    an hour (every device call, even jax.devices(), blocks forever). A
+    bench run launched into such an outage would hang at first device
+    contact with nothing recorded. Probe the device from a subprocess
+    (the only timeoutable way — an in-process jax call that stalls can
+    never be cancelled) and retry up to max_wait_s before proceeding.
+    Returns True when the device answered. PD_FUSION_BENCH_NO_DEVICE_WAIT=1
+    skips the probe (saves ~15 s of subprocess jax import on known-good
+    relays)."""
+    import multiprocessing as mp
+
+    if os.environ.get("PD_FUSION_BENCH_NO_DEVICE_WAIT"):
+        return True
+    ctx = mp.get_context("spawn")  # never fork a half-initialized backend
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        p = ctx.Process(target=_probe_device, daemon=True)
+        p.start()
+        p.join(probe_timeout_s)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+        if p.exitcode == 0:
+            return True
+        if time.time() >= deadline:
+            print(
+                f"# bench: device unreachable after {attempt} probes; proceeding anyway",
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(min(30.0, max(0.0, deadline - time.time())))
+
+
 def main():
     import numpy as np
 
     from pd_fusion.utils.logging import setup_logging
 
     setup_logging("ERROR")
+    wait_for_device()
     from pd_fusion.paths import RUNS_DIR
 
     # --- CV leg (best of two post-warmup runs: excludes one-off
