@@ -288,7 +288,7 @@ def _probe_device():
     jnp.ones((8, 8)).sum().block_until_ready()  # noqa: B018
 
 
-def wait_for_device(max_wait_s: float = 600.0, probe_timeout_s: float = 75.0) -> bool:
+def wait_for_device(max_wait_s: float = 2700.0, probe_timeout_s: float = 75.0) -> bool:
     """The axon relay has been observed to go FULLY unreachable for over
     an hour (every device call, even jax.devices(), blocks forever). A
     bench run launched into such an outage would hang at first device
@@ -317,7 +317,8 @@ def wait_for_device(max_wait_s: float = 600.0, probe_timeout_s: float = 75.0) ->
             return True
         if time.time() >= deadline:
             print(
-                f"# bench: device unreachable after {attempt} probes; proceeding anyway",
+                f"# bench: device unreachable after {attempt} probes over "
+                f"{max_wait_s:.0f}s",
                 file=sys.stderr,
             )
             return False
@@ -330,7 +331,23 @@ def main():
     from pd_fusion.utils.logging import setup_logging
 
     setup_logging("ERROR")
-    wait_for_device()
+    if not wait_for_device():
+        # The relay is fully down (observed outages >1 h where EVERY device
+        # call blocks forever). Proceeding would hang at first device contact
+        # with nothing recorded — emit an honest failure line instead so the
+        # driver's capture records the outage rather than an empty file.
+        print(
+            json.dumps(
+                {
+                    "metric": "embed_plus_cv5_subjects_per_sec",
+                    "value": 0.0,
+                    "unit": "subjects/sec",
+                    "vs_baseline": 0.0,
+                    "error": "tpu relay unreachable for 45 min; bench not run",
+                }
+            )
+        )
+        return
     from pd_fusion.paths import RUNS_DIR
 
     # --- CV leg (best of two post-warmup runs: excludes one-off
