@@ -10,8 +10,13 @@ Three candidates for shipping a flush's subjects to the device
 - grouped (PD_FUSION_PUT_GROUP=g): one [g, L, h, w] device_put per
   g-subject block (W/g + 1 relay ops, g-granular transfer/prep overlap)
 
+plus an orthogonal wire-width knob:
+
+- f16 (PD_FUSION_PUT_DTYPE=f16): per-subject puts at half the bytes
+  (payloads widen to f32 on device; embeddings agree to ~1e-3)
+
 Runs the 16-volume bench embed leg N times per mode, interleaved
-A/B/C/A/B/C so relay-weather drift hits all arms equally, and prints
+A/B/C/D so relay-weather drift hits all arms equally, and prints
 min/median. Usage: timeout 560 python scripts/ab_stacked_put.py [reps]
 """
 import os
@@ -25,11 +30,13 @@ MODES = {
     "per_subject": {},
     "stacked": {"PD_FUSION_STACKED_PUT": "1"},
     "grouped4": {"PD_FUSION_PUT_GROUP": "4"},
+    "f16": {"PD_FUSION_PUT_DTYPE": "f16"},
+    "f16_grouped4": {"PD_FUSION_PUT_DTYPE": "f16", "PD_FUSION_PUT_GROUP": "4"},
 }
 
 
 def _set_mode(env):
-    for k in ("PD_FUSION_STACKED_PUT", "PD_FUSION_PUT_GROUP"):
+    for k in ("PD_FUSION_STACKED_PUT", "PD_FUSION_PUT_GROUP", "PD_FUSION_PUT_DTYPE"):
         os.environ.pop(k, None)
     os.environ.update(env)
 

@@ -421,3 +421,14 @@ def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
         np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=5e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(t), np.asarray(u), atol=5e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(t), np.asarray(v), atol=5e-5, rtol=1e-5)
+    # f16 wire mode quantizes the [0,1] slice payloads to half precision
+    # (eps ~1e-3) before the relay; embeddings must agree within a
+    # quantization-scaled band, not bit-exactly
+    monkeypatch.delenv("PD_FUSION_PUT_GROUP")
+    monkeypatch.setenv("PD_FUSION_PUT_DTYPE", "f16")
+    f16 = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    assert len(f16) == 11
+    for t, w in zip(split, f16):
+        t, w = np.asarray(t), np.asarray(w)
+        denom = max(float(np.abs(t).max()), 1e-6)
+        assert float(np.abs(t - w).max()) / denom < 2e-2
