@@ -427,8 +427,14 @@ def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
     monkeypatch.delenv("PD_FUSION_PUT_GROUP")
     monkeypatch.setenv("PD_FUSION_PUT_DTYPE", "f16")
     f16 = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
-    assert len(f16) == 11
-    for t, w in zip(split, f16):
-        t, w = np.asarray(t), np.asarray(w)
+    # combined f16 + grouped-put arm (ab_stacked_put's f16_grouped4)
+    monkeypatch.setenv("PD_FUSION_PUT_GROUP", "2")
+    f16g = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
+    assert len(f16) == len(f16g) == 11
+    for t, w, g in zip(split, f16, f16g):
+        t, w, g = np.asarray(t), np.asarray(w), np.asarray(g)
         denom = max(float(np.abs(t).max()), 1e-6)
         assert float(np.abs(t - w).max()) / denom < 2e-2
+        # same f16 quantization -> the two f16 transfer modes agree to
+        # accumulation-order noise only
+        np.testing.assert_allclose(w, g, atol=5e-5, rtol=1e-5)
