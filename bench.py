@@ -57,20 +57,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
 # drifts ~30% between sessions); each value is the CONSERVATIVE end of
 # the FULL observed spread (fastest reference wall / highest reference
 # rate), so vs_baseline is a lower bound:
-#   cv:    {3.10, 3.68, 4.29, 4.50} s      -> 3.10
+#   cv:    {3.10, 3.68, 3.77, 4.29, 4.50} s -> 3.10
 #   embed: r2 f32 volumes {0.461, 0.469, 0.516}; r3 int16 volumes
-#          {0.313, 0.327, 0.443} subj/s -> pinned at the f32-era max
-#          0.516 (int16 halves the oracle's IO, so its true ceiling can
-#          only sit at or below the f32 ceiling — keeping 0.516 is the
-#          conservative over-estimate of the reference)
-#   scale: {59.3, 73.8, 79.7} s            -> 59.3
+#          {0.313, 0.327, 0.409, 0.443} subj/s -> pinned at the f32-era
+#          max 0.516 (int16 halves the oracle's IO, so its true ceiling
+#          can only sit at or below the f32 ceiling — keeping 0.516 is
+#          the conservative over-estimate of the reference)
+#   scale: {59.3, 73.5, 73.8, 79.7} s      -> 59.3
 REF_CV_WALL_S = 3.10
 REF_EMBED_RATE = 0.516
 REF_CV_SCALE_WALL_S = 59.3
 # 64-volume per-slice (MIL-bag) leg, reference build_resnet2d_mil_embeddings
 # workload (:112-158): measured via scripts/measure_reference_oracle.py
-# embed-scale -> int16 volumes {0.428, 0.494} subj/s (f32-era volumes
-# {0.365, 0.403, 0.518}); pinned above every observation at 0.52.
+# embed-scale -> int16 volumes {0.428, 0.494, 0.517} subj/s (f32-era
+# volumes {0.365, 0.403, 0.518}); pinned above every observation at 0.52.
 REF_EMBED_SCALE_RATE = 0.52
 N_SUBJECTS = 500
 K_FOLDS = 5
