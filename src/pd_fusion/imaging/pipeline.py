@@ -441,6 +441,11 @@ def run_resnet_embedding_pipeline(
         loader = lambda p: np.ascontiguousarray(native.read_nifti_native(p))
     else:
         loader = make_slices_loader(target_t, axes_t, counts_t)
+        if put_dtype is not None:
+            # convert in the prefetch worker (parallelizes with cores;
+            # ~1.7 ms/subject on this host) rather than the consume loop
+            base_loader = loader
+            loader = lambda p: base_loader(p).astype(put_dtype)
     it = VolumePrefetcher(paths, loader, depth=prefetch_depth)
     if progress:
         try:
@@ -618,8 +623,6 @@ def run_resnet_embedding_pipeline(
 
     consumed = 0
     for i, payload in it:
-        if put_dtype is not None:
-            payload = payload.astype(put_dtype)
         # raw mode batches must share a raw shape (static-shape programs)
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
             flush(batch_idx, batch_payload)
