@@ -200,9 +200,9 @@ def run_suite(cfg: Dict, out_dir: Path, seeds=None, limit=None, num_threads: int
                 if model_name == "logreg":
                     from sklearn.linear_model import LogisticRegression
 
-                    clf = LogisticRegression(
-                        max_iter=1000, class_weight="balanced", n_jobs=num_threads
-                    )
+                    # n_jobs is a no-op (and deprecated) on LogisticRegression
+                    # since sklearn 1.8; thread pinning happens via env vars
+                    clf = LogisticRegression(max_iter=1000, class_weight="balanced")
                     clf.fit(X_tr, y_train)
                     y_prob = clf.predict_proba(X_te)[:, 1]
                 elif model_name == "lgbm":
