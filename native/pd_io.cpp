@@ -657,18 +657,56 @@ int pd_read_resize_nifti(const char* path, int64_t t0, int64_t t1, int64_t t2,
 
 }  // extern "C"
 
-extern "C" {
+// f32 -> IEEE binary16 with round-to-nearest-even — the same conversion
+// numpy's astype(np.float16) performs (bit-equality tested). Software
+// routine for portability; the AVX-512/F16C build uses vcvtps2ph.
+static inline uint16_t f32_to_f16_rne(float v) {
+#ifdef __AVX512F__
+  return static_cast<uint16_t>(
+      _cvtss_sh(v, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC));
+#else
+  uint32_t x;
+  std::memcpy(&x, &v, 4);
+  const uint32_t sign = (x >> 16) & 0x8000u;
+  x &= 0x7FFFFFFFu;
+  if (x >= 0x47800000u) {  // overflow -> inf; NaN keeps a mantissa bit
+    return static_cast<uint16_t>(sign | (x > 0x7F800000u ? 0x7E00u : 0x7C00u));
+  }
+  if (x < 0x38800000u) {  // subnormal half (or zero)
+    // add the implicit bit, shift with round-to-nearest-even
+    const uint32_t shift = 113u - (x >> 23);
+    if (shift > 24u) return static_cast<uint16_t>(sign);
+    const uint32_t mant = (x & 0x7FFFFFu) | 0x800000u;
+    uint32_t h = mant >> (shift + 13u);
+    const uint32_t rem = mant & ((1u << (shift + 13u)) - 1u);
+    const uint32_t half = 1u << (shift + 12u);
+    if (rem > half || (rem == half && (h & 1u))) ++h;
+    return static_cast<uint16_t>(sign | h);
+  }
+  // normal: rebias exponent, round mantissa to 10 bits (nearest-even)
+  uint32_t h = ((x >> 13) & 0x3FFFu) + ((x >> 23) - 112u) * 0x400u;
+  const uint32_t rem = x & 0x1FFFu;
+  if (rem > 0x1000u || (rem == 0x1000u && (h & 1u))) ++h;
+  return static_cast<uint16_t>(sign | h);
+#endif
+}
+
+static inline void store_px(float*& dst, float v) { *dst++ = v; }
+static inline void store_px(uint16_t*& dst, float v) { *dst++ = f32_to_f16_rne(v); }
 
 // Full host prep for the embedding pipeline: read + resize + 1-99%%
 // nonzero-mask percentile normalize + multi-axis nonzero-extent slice
 // select. Mirrors pd_fusion.imaging.pipeline.{normalize_volume_host,
 // select_slices_host} exactly (equality-tested). out must hold
-// sum(counts) * h * w floats where (h, w) are the per-axis slice dims of
+// sum(counts) * h * w pixels where (h, w) are the per-axis slice dims of
 // a CUBIC target (t0 == t1 == t2 is required for multi-axis use).
+// OutT = float (exact mirror) or uint16_t (f16 bits for the half-width
+// wire mode — equals the f32 output's astype(np.float16) bitwise).
 // Layout notes: the volume buffer is Fortran [t0,t1,t2] == C [t2,t1,t0].
-int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
-                   const int64_t* axes, const int64_t* counts, int n_axes,
-                   float* out, int n_threads) {
+template <typename OutT>
+static int prep_slices_impl(const char* path, int64_t t0, int64_t t1, int64_t t2,
+                            const int64_t* axes, const int64_t* counts, int n_axes,
+                            OutT* out, int n_threads) {
   ParsedNifti pn;
   if (int rc = parse_nifti(path, false, pn)) return rc;
 
@@ -863,7 +901,7 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
   for (int64_t y = 0; y < t1; ++y) nz1[y] = norm(rawmax1[y]) > 0.0f;
   for (int64_t z = 0; z < t2; ++z) nz2[z] = norm(rawmax2[z]) > 0.0f;
 
-  float* dst = out;
+  OutT* dst = out;
   for (int a = 0; a < n_axes; ++a) {
     const int64_t axis = axes[a];
     const int64_t cnt = counts[a];
@@ -887,22 +925,40 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
         // out[k][y][z] = norm(vol[x=idx, y, z])
         for (int64_t y = 0; y < t1; ++y)
           for (int64_t z = 0; z < t2; ++z)
-            *dst++ = norm(vol[z * s_z + y * s_y + idx]);
+            store_px(dst, norm(vol[z * s_z + y * s_y + idx]));
       } else if (axis == 1) {
         // out[k][x][z] = norm(vol[x, y=idx, z])
         for (int64_t x = 0; x < t0; ++x)
           for (int64_t z = 0; z < t2; ++z)
-            *dst++ = norm(vol[z * s_z + idx * s_y + x]);
+            store_px(dst, norm(vol[z * s_z + idx * s_y + x]));
       } else {
         // out[k][x][y] = norm(vol[x, y, z=idx])
         const float* plane = vol + idx * s_z;
         for (int64_t x = 0; x < t0; ++x)
           for (int64_t y = 0; y < t1; ++y)
-            *dst++ = norm(plane[y * s_y + x]);
+            store_px(dst, norm(plane[y * s_y + x]));
       }
     }
   }
   return 0;
+}
+
+extern "C" {
+
+int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
+                   const int64_t* axes, const int64_t* counts, int n_axes,
+                   float* out, int n_threads) {
+  return prep_slices_impl<float>(path, t0, t1, t2, axes, counts, n_axes, out, n_threads);
+}
+
+// Half-width variant for the f16 wire mode (PD_FUSION_PUT_DTYPE=f16):
+// emits IEEE binary16 bits straight from the gather epilogue, replacing
+// the worker-thread numpy astype pass AND halving the output-buffer
+// traffic. Bitwise-equal to pd_prep_slices(...).astype(np.float16).
+int pd_prep_slices_f16(const char* path, int64_t t0, int64_t t1, int64_t t2,
+                       const int64_t* axes, const int64_t* counts, int n_axes,
+                       uint16_t* out, int n_threads) {
+  return prep_slices_impl<uint16_t>(path, t0, t1, t2, axes, counts, n_axes, out, n_threads);
 }
 
 }  // extern "C"

@@ -29,12 +29,19 @@ def _load() -> Optional[ctypes.CDLL]:
     _load_attempted = True
     if os.environ.get("PD_FUSION_NO_NATIVE"):
         return None
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "pd_io.cpp"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if not _LIB_PATH.exists() or stale:
         build = _NATIVE_DIR / "build.sh"
         if build.exists():
             try:
                 subprocess.run(["bash", str(build)], check=True, capture_output=True, timeout=120)
             except Exception as e:
+                # never serve a lib older than its source
                 logger.info(f"native pd_io build skipped: {e}")
                 return None
     if not _LIB_PATH.exists():
@@ -72,6 +79,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        # f16 variant may be absent from an older cached build — the
+        # callers fall back to f32 + numpy astype when it is
+        if hasattr(lib, "pd_prep_slices_f16"):
+            lib.pd_prep_slices_f16.restype = ctypes.c_int
+            lib.pd_prep_slices_f16.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int,
+            ]
         _lib = lib
         logger.info(f"native pd_io loaded from {_LIB_PATH}")
     except Exception as e:  # pragma: no cover
@@ -139,12 +159,19 @@ def resize3d_native(vol: np.ndarray, target_shape: Tuple[int, int, int],
 
 
 def prep_slices_native(path, target_shape, axes, counts,
-                       n_threads: int = 2) -> Optional[np.ndarray]:
+                       n_threads: int = 2, out_dtype=np.float32) -> Optional[np.ndarray]:
     """Fully native embed prep: read + resize + percentile-normalize +
-    multi-axis slice select -> [sum(counts), h, w] float32 (cubic targets).
-    Mirrors imaging.pipeline's host prep exactly (equality-tested)."""
+    multi-axis slice select -> [sum(counts), h, w] (cubic targets).
+    Mirrors imaging.pipeline's host prep exactly (equality-tested).
+    out_dtype float32 (exact mirror) or float16 (wire mode: binary16 bits
+    emitted in the C++ gather epilogue, bitwise-equal to
+    float32-output.astype(np.float16)); float16 falls back to None when
+    the loaded library predates the pd_prep_slices_f16 symbol."""
     lib = _load()
     if lib is None:
+        return None
+    f16 = np.dtype(out_dtype) == np.float16
+    if f16 and not hasattr(lib, "pd_prep_slices_f16"):
         return None
     t0, t1, t2 = (int(t) for t in target_shape)
     if not (t0 == t1 == t2) and len(axes) > 1:
@@ -154,11 +181,18 @@ def prep_slices_native(path, target_shape, axes, counts,
     per_axis_dims = {0: (t1, t2), 1: (t0, t2), 2: (t0, t1)}
     h, w = per_axis_dims[int(axes[0])]
     total = sum(int(c) for c in counts)
-    out = np.empty(total * h * w, np.float32)
-    rc = lib.pd_prep_slices(
-        str(path).encode(), t0, t1, t2, axes_arr, counts_arr, len(axes),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
-    )
+    if f16:
+        out = np.empty(total * h * w, np.float16)
+        rc = lib.pd_prep_slices_f16(
+            str(path).encode(), t0, t1, t2, axes_arr, counts_arr, len(axes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_threads,
+        )
+    else:
+        out = np.empty(total * h * w, np.float32)
+        rc = lib.pd_prep_slices(
+            str(path).encode(), t0, t1, t2, axes_arr, counts_arr, len(axes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+        )
     if rc != 0:
         return None
     return out.reshape((total, h, w))

@@ -129,24 +129,32 @@ def select_slices_host(vol: np.ndarray, axis: int, count: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
-def make_slices_loader(target_shape, axes, counts):
+def make_slices_loader(target_shape, axes, counts, out_dtype=None):
     """Loader producing ready-to-embed [n_slices, h, w] normalized slices:
     native read+resize, host normalize + multi-axis slice select. Only the
-    slices cross to device."""
+    slices cross to device. out_dtype=np.float16 emits wire-ready half
+    payloads (natively in the C++ gather epilogue when available; astype
+    in this worker-thread loader otherwise — never in the consume loop)."""
     shape = tuple(int(t) for t in target_shape)
     axes = [int(a) for a in axes]
     counts = [int(c) for c in counts]
+    dtype = np.dtype(out_dtype) if out_dtype is not None else np.float32
 
     def _load(path):
         from pd_fusion.imaging import native
 
-        nat = native.prep_slices_native(path, shape, axes, counts)
+        nat = native.prep_slices_native(path, shape, axes, counts, out_dtype=dtype)
         if nat is not None:
             return nat
+        if dtype != np.float32:
+            f32 = native.prep_slices_native(path, shape, axes, counts)
+            if f32 is not None:
+                return f32.astype(dtype)
         vol = normalize_volume_host(load_volume(path, shape))
-        return np.concatenate(
+        out = np.concatenate(
             [select_slices_host(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
         )
+        return out.astype(dtype) if out.dtype != dtype else out
 
     return _load
 
@@ -440,12 +448,10 @@ def run_resnet_embedding_pipeline(
     if raw_mode:
         loader = lambda p: np.ascontiguousarray(native.read_nifti_native(p))
     else:
-        loader = make_slices_loader(target_t, axes_t, counts_t)
-        if put_dtype is not None:
-            # convert in the prefetch worker (parallelizes with cores;
-            # ~1.7 ms/subject on this host) rather than the consume loop
-            base_loader = loader
-            loader = lambda p: base_loader(p).astype(put_dtype)
+        # wire dtype handled inside the loader: the native tier emits f16
+        # bits straight from its gather epilogue (no astype pass at all);
+        # fallbacks convert in the prefetch worker, not the consume loop
+        loader = make_slices_loader(target_t, axes_t, counts_t, out_dtype=put_dtype)
     it = VolumePrefetcher(paths, loader, depth=prefetch_depth)
     if progress:
         try:

@@ -164,3 +164,77 @@ def test_native_fused_read_resize_int16(tmp_path):
     assert got is not None
     # values span ~[-50, 850]: the f32 atol scales with the range
     np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-3)
+
+
+def test_native_prep_slices_f16_bitwise_matches_astype(tmp_path):
+    """pd_prep_slices_f16 (wire-mode half output emitted in the C++
+    gather epilogue) must equal the f32 output's numpy astype(np.float16)
+    BITWISE — both are IEEE round-to-nearest-even — across adversarial
+    distributions incl. values that land in the half-subnormal range and
+    exact ties at the 10-bit rounding boundary."""
+    rng = np.random.RandomState(7)
+    shape = (24, 24, 24)
+    cases = {
+        "uniform": rng.rand(18, 20, 16).astype(np.float32),
+        "tiny_positive": (rng.rand(18, 20, 16) * 1e-4).astype(np.float32),
+        "sparse_positive": np.where(
+            rng.rand(18, 20, 16) < 0.02, rng.rand(18, 20, 16), np.float32(0.0)
+        ).astype(np.float32),
+        "constant": np.full((18, 20, 16), 0.73, np.float32),
+        "int16_like": (rng.rand(18, 20, 16) * 900 - 50).astype(np.int16).astype(np.float32),
+    }
+    for name, vol in cases.items():
+        p = tmp_path / f"{name}.nii.gz"
+        write_nifti(p, vol)
+        for axes, counts in (([2], [5]), ([0, 1, 2], [3, 4, 5])):
+            f32 = native.prep_slices_native(p, shape, axes, counts)
+            f16 = native.prep_slices_native(p, shape, axes, counts, out_dtype=np.float16)
+            assert f32 is not None and f16 is not None, name
+            assert f16.dtype == np.float16
+            np.testing.assert_array_equal(
+                f16.view(np.uint16),
+                f32.astype(np.float16).view(np.uint16),
+                err_msg=f"{name} axes={axes}",
+            )
+
+
+def test_slices_loader_out_dtype_fallback_paths(tmp_path, monkeypatch):
+    """make_slices_loader(out_dtype=f16) yields f16 payloads on every
+    tier: native-f16, native-f32+astype (f16 symbol unavailable), and the
+    pure-python mirror (native disabled) — all value-identical."""
+    from pd_fusion.imaging.pipeline import make_slices_loader
+
+    rng = np.random.RandomState(11)
+    vol = rng.rand(18, 20, 16).astype(np.float32)
+    p = tmp_path / "v.nii.gz"
+    write_nifti(p, vol)
+    shape, axes, counts = (24, 24, 24), [0, 2], [3, 4]
+
+    loader = make_slices_loader(shape, axes, counts, out_dtype=np.float16)
+    native_f16 = loader(p)
+    assert native_f16.dtype == np.float16
+
+    real_prep = native.prep_slices_native
+
+    def no_f16(path, tshape, ax, ct, n_threads=2, out_dtype=np.float32):
+        if np.dtype(out_dtype) == np.float16:
+            return None  # simulate a library predating pd_prep_slices_f16
+        return real_prep(path, tshape, ax, ct, n_threads, out_dtype)
+
+    monkeypatch.setattr(native, "prep_slices_native", no_f16)
+    astype_f16 = make_slices_loader(shape, axes, counts, out_dtype=np.float16)(p)
+    monkeypatch.undo()
+    assert astype_f16.dtype == np.float16
+    np.testing.assert_array_equal(
+        native_f16.view(np.uint16), astype_f16.view(np.uint16)
+    )
+
+    monkeypatch.setattr(native, "prep_slices_native", lambda *a, **k: None)
+    python_f16 = make_slices_loader(shape, axes, counts, out_dtype=np.float16)(p)
+    monkeypatch.undo()
+    assert python_f16.dtype == np.float16
+    # python mirror computes percentiles in float64 -> f32-eps difference
+    # BEFORE the half rounding; equality after rounding is to 1 ulp of f16
+    np.testing.assert_allclose(
+        python_f16.astype(np.float32), native_f16.astype(np.float32), atol=1e-3
+    )
