@@ -79,6 +79,10 @@ bool read_file_maybe_gz(const char* path, std::unique_ptr<uint8_t[]>& out, size_
           if (fread(tr, 1, 4, rf) == 4) {
             hint = static_cast<size_t>(tr[0]) | (static_cast<size_t>(tr[1]) << 8) |
                    (static_cast<size_t>(tr[2]) << 16) | (static_cast<size_t>(tr[3]) << 24);
+            // deflate's max expansion is ~1032:1 — a larger ISIZE is a
+            // forged trailer; ignore it rather than pre-allocating GiBs
+            // (the doubling loop below sizes to the real data instead)
+            if (hint > static_cast<size_t>(file_size) * 1032 + 64) hint = 0;
           }
         }
       } else if (file_size > 0) {
@@ -527,6 +531,10 @@ int parse_nifti(const char* path, bool header_only, ParsedNifti& pn) {
     shape[i] = rd_i16(h + 42 + 2 * i, pn.swap);
     if (shape[i] <= 0) shape[i] = 1;
     pn.count *= shape[i];
+    // corrupt headers can claim up to 32767^7 voxels — cap before the
+    // product overflows int64 (2^40 voxels = 8 TiB of f64, far beyond
+    // any real volume; keeps count*elem exact in uint64 below)
+    if (pn.count > (int64_t(1) << 40)) return 6;
   }
   for (int i = 0; i < 3; ++i) pn.dims[i] = (i < ndim) ? shape[i] : 1;
   if (ndim > 3) {
@@ -540,6 +548,12 @@ int parse_nifti(const char* path, bool header_only, ParsedNifti& pn) {
   float vox_offset = rd_f32(h + 108, pn.swap);
   pn.scl_slope = rd_f32(h + 112, pn.swap);
   pn.scl_inter = rd_f32(h + 116, pn.swap);
+  // vox_offset comes from untrusted bytes: casting NaN / negative /
+  // >=2^63 floats to size_t is UB, and a near-2^64 value lets
+  // offset + count*elem wrap past the size check below (fuzz-found:
+  // vox_offset = 2^64 - 2^40 with 2^40 uint8 voxels aborted the
+  // process). NaN fails the >= comparison.
+  if (!(vox_offset >= 0.0f) || vox_offset > 9.0e18f) return 9;
   pn.offset = static_cast<size_t>(vox_offset);
   if (pn.offset < 352) pn.offset = 352;
 
@@ -554,7 +568,13 @@ int parse_nifti(const char* path, bool header_only, ParsedNifti& pn) {
     case 768: pn.elem = 4; break;  // uint32
     default: return 7;
   }
-  if (!header_only && pn.raw_n < pn.offset + pn.count * pn.elem) return 8;
+  if (!header_only) {
+    // overflow-safe form of raw_n < offset + count*elem (count capped
+    // at 2^40 above, so the uint64 product is exact)
+    const uint64_t need =
+        static_cast<uint64_t>(pn.count) * static_cast<uint64_t>(pn.elem);
+    if (pn.offset > pn.raw_n || need > pn.raw_n - pn.offset) return 8;
+  }
 
   bool has_slope =
       std::isfinite(pn.scl_slope) && pn.scl_slope != 0.0f && pn.scl_slope != 1.0f;
@@ -596,12 +616,13 @@ extern "C" {
 // writes the float32 voxel data (Fortran/x-fastest order, scaled,
 // NaN/Inf -> 0). Call once with out == null to get dims, then again with
 // a buffer of product(dims) floats.
-int pd_read_nifti(const char* path, int64_t* dims, float* out) {
+int pd_read_nifti(const char* path, int64_t* dims, float* out) try {
   ParsedNifti pn;
   if (int rc = parse_nifti(path, out == nullptr, pn)) {
-    // the header-only probe does not validate datatype/size fields the
-    // full read needs; keep its historical (dims-only) error surface
-    if (out == nullptr && (rc == 7 || rc == 8)) {
+    // the header-only probe does not validate datatype/size/offset
+    // fields the full read needs; keep its historical (dims-only)
+    // error surface
+    if (out == nullptr && (rc == 7 || rc == 8 || rc == 9)) {
       for (int i = 0; i < 3; ++i) dims[i] = pn.dims[i];
       return 0;
     }
@@ -611,6 +632,11 @@ int pd_read_nifti(const char* path, int64_t* dims, float* out) {
   if (out == nullptr) return 0;
   convert_and_scale(pn, out);
   return 0;
+} catch (...) {
+  // bad_alloc from corrupt-size allocations (e.g. a forged gzip ISIZE
+  // trailer) must surface as an error code, not terminate the process
+  // that loaded this library
+  return 10;
 }
 
 // Align-corners trilinear resize (matches scipy.ndimage.zoom order=1 /
@@ -628,7 +654,7 @@ void pd_resize3d(const float* in, int64_t i0, int64_t i1, int64_t i2,
 // NOTE: NIfTI data is Fortran-ordered; the caller treats the array as
 // C-order [i2, i1, i0] and resizes in that layout, which is equivalent.
 int pd_read_resize_nifti(const char* path, int64_t t0, int64_t t1, int64_t t2,
-                         float* out, int n_threads) {
+                         float* out, int n_threads) try {
   ParsedNifti pn;
   if (int rc = parse_nifti(path, false, pn)) return rc;
   // Fortran [x,y,z] buffer == C-order [z,y,x]; resize with reversed dims.
@@ -653,6 +679,8 @@ int pd_read_resize_nifti(const char* path, int64_t t0, int64_t t1, int64_t t2,
   convert_and_scale(pn, vol.get());
   pd_resize3d(vol.get(), i0, i1, i2, out, t2, t1, t0, n_threads);
   return 0;
+} catch (...) {
+  return 10;  // see pd_read_nifti: never let bad_alloc cross the ABI
 }
 
 }  // extern "C"
@@ -947,8 +975,10 @@ extern "C" {
 
 int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
                    const int64_t* axes, const int64_t* counts, int n_axes,
-                   float* out, int n_threads) {
+                   float* out, int n_threads) try {
   return prep_slices_impl<float>(path, t0, t1, t2, axes, counts, n_axes, out, n_threads);
+} catch (...) {
+  return 10;  // see pd_read_nifti: never let bad_alloc cross the ABI
 }
 
 // Half-width variant for the f16 wire mode (PD_FUSION_PUT_DTYPE=f16):
@@ -957,8 +987,10 @@ int pd_prep_slices(const char* path, int64_t t0, int64_t t1, int64_t t2,
 // traffic. Bitwise-equal to pd_prep_slices(...).astype(np.float16).
 int pd_prep_slices_f16(const char* path, int64_t t0, int64_t t1, int64_t t2,
                        const int64_t* axes, const int64_t* counts, int n_axes,
-                       uint16_t* out, int n_threads) {
+                       uint16_t* out, int n_threads) try {
   return prep_slices_impl<uint16_t>(path, t0, t1, t2, axes, counts, n_axes, out, n_threads);
+} catch (...) {
+  return 10;  // see pd_read_nifti: never let bad_alloc cross the ABI
 }
 
 }  // extern "C"

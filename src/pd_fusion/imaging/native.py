@@ -115,7 +115,12 @@ def read_nifti_native(path) -> Optional[np.ndarray]:
         return None
     shape = (dims[0], dims[1], dims[2])
     # Fortran voxel buffer == C-order reversed dims; build F-order view
-    buf = np.empty(int(np.prod(shape)), np.float32)
+    try:
+        buf = np.empty(int(np.prod(shape)), np.float32)
+    except MemoryError:
+        # corrupt headers can claim absurd dims; the full native read
+        # below would reject the file (rc 8) — fail soft the same way
+        return None
     rc = lib.pd_read_nifti(
         str(path).encode(), dims, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     )
