@@ -615,9 +615,13 @@ extern "C" {
 // Returns 0 on success. On success fills dims[0..2] and, if out != null,
 // writes the float32 voxel data (Fortran/x-fastest order, scaled,
 // NaN/Inf -> 0). Call once with out == null to get dims, then again with
-// a buffer of product(dims) floats.
+// a buffer of product(dims) floats. On the full-read call, positive
+// caller-provided dims are treated as the out-buffer's capacity: if the
+// re-parsed header no longer matches (file replaced between the two
+// calls), the call fails instead of overflowing the buffer.
 int pd_read_nifti(const char* path, int64_t* dims, float* out) try {
   ParsedNifti pn;
+  const int64_t cap0 = dims[0], cap1 = dims[1], cap2 = dims[2];
   if (int rc = parse_nifti(path, out == nullptr, pn)) {
     // the header-only probe does not validate datatype/size/offset
     // fields the full read needs; keep its historical (dims-only)
@@ -627,6 +631,13 @@ int pd_read_nifti(const char* path, int64_t* dims, float* out) try {
       return 0;
     }
     return rc;
+  }
+  if (out != nullptr && cap0 > 0 &&
+      (pn.dims[0] != cap0 || pn.dims[1] != cap1 || pn.dims[2] != cap2)) {
+    // the same parse that would drive the write no longer matches the
+    // capacity the caller allocated from its probe call — the file
+    // changed between the two calls; fail instead of overflowing
+    return 11;
   }
   for (int i = 0; i < 3; ++i) dims[i] = pn.dims[i];
   if (out == nullptr) return 0;
@@ -701,9 +712,11 @@ static inline uint16_t f32_to_f16_rne(float v) {
     return static_cast<uint16_t>(sign | (x > 0x7F800000u ? 0x7E00u : 0x7C00u));
   }
   if (x < 0x38800000u) {  // subnormal half (or zero)
-    // add the implicit bit, shift with round-to-nearest-even
+    // add the implicit bit, shift with round-to-nearest-even; shift > 18
+    // would need a >= 32-bit shift (UB) and those magnitudes (< 2^-31)
+    // all round to zero anyway
     const uint32_t shift = 113u - (x >> 23);
-    if (shift > 24u) return static_cast<uint16_t>(sign);
+    if (shift > 18u) return static_cast<uint16_t>(sign);
     const uint32_t mant = (x & 0x7FFFFFu) | 0x800000u;
     uint32_t h = mant >> (shift + 13u);
     const uint32_t rem = mant & ((1u << (shift + 13u)) - 1u);
@@ -712,7 +725,7 @@ static inline uint16_t f32_to_f16_rne(float v) {
     return static_cast<uint16_t>(sign | h);
   }
   // normal: rebias exponent, round mantissa to 10 bits (nearest-even)
-  uint32_t h = ((x >> 13) & 0x3FFFu) + ((x >> 23) - 112u) * 0x400u;
+  uint32_t h = ((x >> 13) & 0x3FFu) + ((x >> 23) - 112u) * 0x400u;
   const uint32_t rem = x & 0x1FFFu;
   if (rem > 0x1000u || (rem == 0x1000u && (h & 1u))) ++h;
   return static_cast<uint16_t>(sign | h);

@@ -37,7 +37,10 @@ def _load() -> Optional[ctypes.CDLL]:
     )
     if not _LIB_PATH.exists() or stale:
         build = _NATIVE_DIR / "build.sh"
-        if build.exists():
+        if not build.exists():
+            if stale:
+                return None  # stale lib and no way to rebuild it
+        else:
             try:
                 subprocess.run(["bash", str(build)], check=True, capture_output=True, timeout=120)
             except Exception as e:

@@ -114,6 +114,9 @@ def test_corrupt_nifti_never_crashes_process(tmp_path):
         f"native tier crashed on corrupt input (rc={proc.returncode}):\n"
         f"{proc.stdout[-500:]}\n{proc.stderr[-2000:]}"
     )
+    if "native-unavailable" in proc.stdout:
+        pytest.skip("native tier failed to load in the subprocess — corpus not exercised")
+    assert "survived" in proc.stdout, proc.stdout[-500:]
 
 
 def test_crafted_overflow_headers_fail_soft(tmp_path):
@@ -121,8 +124,9 @@ def test_crafted_overflow_headers_fail_soft(tmp_path):
     contract the pipeline's fallback chain relies on)."""
     if not native.available():
         pytest.skip("native tier unavailable")
+    corpus = _corpus(tmp_path)
     for name in ("wrap_exact", "nan_offset", "neg_offset", "huge_count"):
-        paths = [p for p in _corpus(tmp_path) if name in p]
+        paths = [p for p in corpus if name in p]
         assert paths, name
         assert native.prep_slices_native(paths[0], (16, 16, 16), [2], [4]) is None, name
         assert native.read_nifti_native(paths[0]) is None, name
