@@ -130,3 +130,55 @@ def test_crafted_overflow_headers_fail_soft(tmp_path):
         assert paths, name
         assert native.prep_slices_native(paths[0], (16, 16, 16), [2], [4]) is None, name
         assert native.read_nifti_native(paths[0]) is None, name
+
+
+def _be_nifti_bytes():
+    """Hand-built big-endian NIfTI-1 (swap path) with known int16 voxels."""
+    hdr = bytearray(352)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">h", hdr, 40, 3)
+    struct.pack_into(">hhh", hdr, 42, 12, 10, 8)
+    struct.pack_into(">h", hdr, 70, 4)  # int16
+    struct.pack_into(">f", hdr, 108, 352.0)
+    struct.pack_into(">f", hdr, 112, 1.0)
+    hdr[344:348] = b"n+1\x00"
+    vox = (np.random.RandomState(3).rand(8, 10, 12) * 100).astype(">i2")
+    return bytes(hdr) + vox.tobytes(), vox.astype(np.int16)
+
+
+def test_byteswapped_nifti_reads_and_survives_mutation(tmp_path):
+    """The swap (big-endian) parse/convert paths: a valid BE file reads
+    value-exactly, and 20 seeded mutations of it fail soft."""
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    raw, vox = _be_nifti_bytes()
+    base = tmp_path / "be.nii.gz"
+    base.write_bytes(gzip.compress(raw))
+    got = native.read_nifti_native(base)
+    assert got is not None
+    # F-order x-fastest buffer == C-order [z,y,x] source -> [x,y,z] view
+    np.testing.assert_array_equal(got, vox.astype(np.float32).transpose(2, 1, 0))
+
+    paths = []
+    for i in range(20):
+        r = np.random.RandomState(3000 + i)
+        b = bytearray(raw)
+        for _ in range(r.randint(1, 8)):
+            b[r.randint(0, len(b))] = r.randint(0, 256)
+        if r.rand() < 0.25:
+            b = b[: r.randint(1, len(b))]
+        p = tmp_path / f"be_m{i}.nii.gz"
+        p.write_bytes(gzip.compress(bytes(b)))
+        paths.append(str(p))
+    import os
+
+    import pd_fusion
+
+    env = dict(os.environ)
+    src_dir = str(os.path.dirname(os.path.dirname(pd_fusion.__file__)))
+    env["PYTHONPATH"] = src_dir + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER, *paths],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
