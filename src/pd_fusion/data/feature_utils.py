@@ -61,6 +61,16 @@ def feature_modality_matrix(feature_cols: List[str]) -> np.ndarray:
     return A
 
 
+def apply_modality_masks_np(X, mask_matrix, assign):
+    """Numpy twin of apply_modality_masks for host ETL paths (a device
+    call here would cost a relay round trip per invocation). X: [N, F];
+    mask_matrix: [N, M] (1=present); assign: [F, M] one-hot. The single
+    source for the keep-factor formula — cv_engine and the moddrop
+    model's eval prep both route through it."""
+    keep = 1.0 - assign @ (1.0 - mask_matrix.T)  # [F, N]
+    return X * keep.T
+
+
 @jax.jit
 def apply_modality_masks(X, mask_matrix, assign):
     """X: [N, F]; mask_matrix: [N, M] (1=present); assign: [F, M] one-hot.

@@ -408,7 +408,19 @@ def run_resnet_embedding_pipeline(
     axes_t, counts_t = tuple(int(a) for a in axes), tuple(int(c) for c in counts)
     target_t = tuple(int(t) for t in target_shape)
     n_slices_total = sum(counts_t)
-    h_dim, w_dim = target_t[1], target_t[2]
+    # slice spatial dims depend on the sliced-out axis: axis 0 -> (t1,t2),
+    # axis 1 -> (t0,t2), axis 2 -> (t0,t1); mixing axes over a non-cubic
+    # target would concat mismatched shapes, so reject it up front
+    if len(axes_t) > 1 and not (target_t[0] == target_t[1] == target_t[2]):
+        raise ValueError(
+            f"multi-axis slice selection requires a cubic target_shape, got {target_t}"
+        )
+    _per_axis_dims = {
+        0: (target_t[1], target_t[2]),
+        1: (target_t[0], target_t[2]),
+        2: (target_t[0], target_t[1]),
+    }
+    h_dim, w_dim = _per_axis_dims[axes_t[0]]
 
     raw_mode = bool(os.environ.get("PD_FUSION_DEVICE_PREP")) and native.available()
     # PD_FUSION_STACKED_PUT=1: instead of device_put-ing every subject as
@@ -446,7 +458,16 @@ def run_resnet_embedding_pipeline(
     if not raw_mode and os.environ.get("PD_FUSION_PUT_DTYPE", "") in ("f16", "float16"):
         put_dtype = np.float16
     if raw_mode:
-        loader = lambda p: np.ascontiguousarray(native.read_nifti_native(p))
+
+        def loader(p):
+            vol = native.read_nifti_native(p)
+            if vol is None:
+                # python-reader fallback; raises with the filename on a
+                # corrupt file instead of letting array(None) crash
+                # opaquely deep in flush()
+                vol = load_volume(p, None)
+            return np.ascontiguousarray(vol)
+
     else:
         # wire dtype handled inside the loader: the native tier emits f16
         # bits straight from its gather epilogue (no astype pass at all);

@@ -18,6 +18,7 @@ loop is one XLA program; no host RNG in the loop.
 import jax
 import numpy as np
 
+from pd_fusion.data.feature_utils import apply_modality_masks_np
 from pd_fusion.models.base import BaseModel
 from pd_fusion.nn.mlp import mlp_init
 from pd_fusion.nn.trainer import predict_proba_jit, train_minibatch_moddrop
@@ -82,8 +83,7 @@ class ModalityDropoutModel(BaseModel):
                 ],
                 axis=1,
             )
-            keep = 1.0 - self.assign @ (1.0 - mask_mat.T)  # [F, N]
-            X = X * keep.T
+            X = apply_modality_masks_np(X, mask_mat, self.assign)
         return np.asarray(predict_proba_jit(self.net_params, X))
 
     def prepare_eval_matrix(self, X, masks=None):
@@ -97,8 +97,7 @@ class ModalityDropoutModel(BaseModel):
             ],
             axis=1,
         )
-        keep = 1.0 - self.assign @ (1.0 - mask_mat.T)
-        return X * keep.T
+        return apply_modality_masks_np(X, mask_mat, self.assign)
 
     def save(self, path):
         save_pickle(

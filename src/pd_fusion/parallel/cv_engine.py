@@ -25,7 +25,7 @@ trainer), fusion_moddrop (minibatch+moddrop trainer), moe (stacked-expert
 trainer). GBDT/MIL fall back to the sequential path in run_experiment.
 """
 import logging
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pd_fusion.data.feature_utils import (
+    apply_modality_masks_np,
     feature_modality_matrix,
     get_all_feature_cols,
     get_modality_feature_cols,
@@ -148,25 +149,19 @@ def _cv_program_moe(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va, y_va, w_va
     return dev_metrics.pack_metrics_and_probs(md, probs)
 
 
-@jax.jit
-def _eval_folds_scenarios_packed_mlp(params_stack, X_scen, y, w):
+def _packed_mlp_eval(trained, Xs, yv, wv):
     """predict + all metrics + pack into ONE buffer: a single device
     program whose single output array is fetched with one relay round
     trip (fetching the 6 metric arrays + probs separately costs ~1 s of
     pure readback latency at ~140 ms/fetch)."""
     probs = jax.vmap(
         lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
-    )(params_stack, X_scen)
-    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y, probs, w)
-    return dev_metrics.pack_metrics_and_probs(md, probs)
-
-
-def _packed_mlp_eval(trained, Xs, yv, wv):
-    probs = jax.vmap(
-        lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
     )(trained, Xs)
     md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(yv, probs, wv)
     return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+_eval_folds_scenarios_packed_mlp = jax.jit(_packed_mlp_eval)
 
 
 # Whole-CV single programs: train ALL folds + evaluate ALL folds x
@@ -302,6 +297,11 @@ def _cv_mesh(K: int, N: int):
     data_dim = n_dev // fold_dim
     if data_dim > 1 and N % data_dim != 0:
         data_dim = 1  # keep it simple: replicate data axis when ragged
+    if fold_dim * data_dim <= 1:
+        # a 1x1 mesh gains nothing and costs the fused single-dispatch
+        # path (the mesh branch device_puts inputs eagerly and splits
+        # train/eval into separate dispatches)
+        return None
     devs = np.array(jax.devices()[: fold_dim * data_dim]).reshape(fold_dim, data_dim)
     from jax.sharding import Mesh
 
@@ -392,8 +392,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
 
     mod_dims = {m: len(get_modality_feature_cols(folds[0][0], m)) for m in MODALITIES}
 
-    Xtr_list, ytr_list, Xva_scen_list, yva_list, scalers = [], [], [], [], []
-    val_mask_rows = []  # per fold per scenario mask matrices (for masked fusion)
+    Xtr_list, ytr_list, Xva_scen_list, yva_list = [], [], [], []
     moe_fold_data = []
     Xcal_list, ycal_list = [], []  # calibration-set inputs (do_calibrate only)
 
@@ -422,7 +421,6 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
 
         X_tr, _, scaler = preprocess_features(train_df, feat_cols)
         X_va_raw, _, _ = preprocess_features(val_df, feat_cols, None, scaler)
-        scalers.append(scaler)
 
         if model_type == "fusion_masked":
             tr_mm = get_modality_mask_matrix(train_masks).astype(np.float32)
@@ -455,18 +453,14 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         # scenario-transformed eval inputs for this fold
         assign = feature_modality_matrix(feat_cols)
         scen_X = []
-        scen_mm = []
         for scenario in scenarios:
             cur = apply_missingness_scenario(val_df, scenario, val_masks)
             mm = get_modality_mask_matrix(cur).astype(np.float32)
-            keep = 1.0 - assign @ (1.0 - mm.T)  # [F, N]
-            Xs = X_va_raw * keep.T
+            Xs = apply_modality_masks_np(X_va_raw, mm, assign)
             if model_type == "fusion_masked":
                 Xs = np.concatenate([Xs, mm], axis=1)
             scen_X.append(Xs.astype(np.float32))
-            scen_mm.append(mm)
         Xva_scen_list.append(np.stack(scen_X))  # [S, Nv, F']
-        val_mask_rows.append(scen_mm)
         yva_list.append(val_df[TARGET_COL].values.astype(np.float32))
 
     lr = float(params_cfg["lr"])
@@ -536,6 +530,12 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         md_hp = (
             lr,
             epochs,
+            # clamps to the PADDED width (one static program for all
+            # folds). Equal-sized folds reproduce the sequential loop
+            # exactly (parity-tested); ragged folds permute/batch over
+            # n_max with zero-weight padding rows — still exact moddrop
+            # semantics (padded rows are loss no-ops) but a different
+            # RNG realization than the sequential per-fold n_i loop.
             min(int(params_cfg.get("batch_size", 32)), X_stack.shape[1]),
             dropout,
             wd,
@@ -547,7 +547,6 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         # pad calibration sets to a common width for the stacked program
         Xc_stack, _ = _pad_stack(Xcal_list)
         n_cal = [len(y) for y in ycal_list]
-        nc_max = Xc_stack.shape[1]
         if mesh is None:
             if is_moddrop:
                 buf = np.asarray(
@@ -765,8 +764,22 @@ def _run_parallel_cv_moe(
 # calibrated MIL CV.
 
 
+@lru_cache(maxsize=None)
+def _mil_init_program(input_dim, hidden_dim, attn_dim, gated):
+    from pd_fusion.nn.mil import mil_init
+
+    return jax.jit(jax.vmap(
+        lambda k: mil_init(k, input_dim, hidden_dim, attn_dim, gated)
+    ))
+
+
+@lru_cache(maxsize=None)
 def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay,
                             use_clip, track_best):
+    # cached on the static hyperparams: a multi-seed sweep re-enters with
+    # identical values and must reuse the jitted program instead of
+    # retracing (a fresh jit object defeats jax's compile cache lookup
+    # cost and burns a 30-60 s relay compile per call on cache misses)
     from pd_fusion.nn.mil import mil_apply, train_mil_impl
 
     @jax.jit
@@ -830,8 +843,6 @@ def _assemble_mil_scenario_probs(fold_rows, kept_probs, scenarios, missing_prob)
 
 def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
                          do_calibrate, nested, fold_masks, fold_keys):
-    from pd_fusion.nn.mil import mil_init
-
     if fold_masks is not None:
         raise ValueError("parallel MIL CV does not support explicit fold_masks")
     params_cfg = config["params"]
@@ -895,8 +906,10 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
     nc_w = max(max(len(r["keep_cal"]) for r in fold_rows), 1) if do_calibrate else 1
     # the sequential path uses min(batch_size, n_real) PER FOLD; the
     # shared static program takes the smallest fold's value (identical
-    # whenever folds are equal-sized)
-    batch_size = min(int(params_cfg.get("batch_size", 16)), min(n_tr))
+    # whenever folds are equal-sized). Floor of 1: a fold with zero kept
+    # training bags would otherwise make this 0 and crash the ceil-div in
+    # train_mil_impl (such a fold trains as a no-op — all-zero weights)
+    batch_size = max(1, min(int(params_cfg.get("batch_size", 16)), min(n_tr)))
 
     X = np.zeros((K, n_tr_max, max_len, input_dim), np.float32)
     BM = np.zeros((K, n_tr_max, max_len), np.float32)
@@ -951,12 +964,10 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
         drawn = [(fresh_key(), fresh_key()) for _ in range(K)]
     init_keys = jnp.stack([a for a, _ in drawn])
     train_keys = jnp.stack([b for _, b in drawn])
-    params_stack = jax.jit(jax.vmap(
-        lambda k: mil_init(
-            k, input_dim, int(params_cfg.get("hidden_dim", 128)),
-            int(params_cfg.get("attn_dim", 64)), gated,
-        )
-    ))(init_keys)
+    params_stack = _mil_init_program(
+        input_dim, int(params_cfg.get("hidden_dim", 128)),
+        int(params_cfg.get("attn_dim", 64)), gated,
+    )(init_keys)
 
     program = _mil_cv_program_factory(
         float(params_cfg.get("lr", 1e-3)), int(params_cfg.get("epochs", 30)),
