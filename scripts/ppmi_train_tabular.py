@@ -119,6 +119,7 @@ def train_mlp_jax(X_train, y_train, X_val, y_val, seed: int, cfg: Dict):
         np.float32(pos_weight),
         int(cfg.get("max_epochs", 100)),
         float(cfg.get("dropout", 0.3)),
+        patience=int(cfg.get("patience", 10)),  # reference default
     )
     return lambda X: np.asarray(predict_proba_jit(best, np.asarray(X, np.float32)))
 

@@ -10,9 +10,11 @@ TPU differences (documented):
 - bags pad to a static max length (rounded up to a multiple of 8 for TPU
   sublane alignment) shared by train/val/predict — one compiled program;
   masked softmax makes the padding exact.
-- early stopping runs as train-all-epochs + on-device best-val-AUC
-  parameter tracking (same restored state as the reference's
-  patience-break, which only saves wall-clock).
+- early stopping runs inside one fixed-shape lax.scan: a ``stopped``
+  carry flag freezes params/optimizer once val AUC has stalled for
+  ``early_stopping_patience`` epochs — exactly the reference's
+  patience-break + best-state restore, including the case where AUC
+  would have recovered after the window (nn/mil.py:train_mil_impl).
 - prediction is one batched program over all bags (the reference loops
   bags in Python one at a time, :255-278).
 """
@@ -68,6 +70,11 @@ class MilAttentionModel(BaseModel):
                 ]
                 if v_lens:
                     self.max_len = max(self.max_len, _round_up(max(v_lens)))
+        elif self.max_len < max(lens):
+            raise ValueError(
+                f"config max_len={self.max_len} would truncate training bags "
+                f"(longest bag has {max(lens)} instances)"
+            )
 
         X, bag_mask = pad_bags(real, self.max_len)
         y_arr = np.asarray(y, np.float32)
@@ -107,6 +114,7 @@ class MilAttentionModel(BaseModel):
             float(self.params.get("weight_decay", 0.0)),
             bool(max_grad_norm),
             track_best,
+            patience=patience if track_best else 0,
         )
         jax.block_until_ready(self.net_params)
 
@@ -122,8 +130,12 @@ class MilAttentionModel(BaseModel):
         out = np.full(n, self.missing_prob, np.float32)
         present = np.where(~missing)[0]
         if len(present):
-            max_len = self.max_len or _round_up(
-                max(np.asarray(bags[i]).shape[0] for i in present)
+            # never truncate: a held-out bag longer than anything seen at
+            # train time widens the pad (attention pooling is L-agnostic;
+            # the wider shape just compiles one more predict program)
+            max_len = max(
+                self.max_len or 0,
+                _round_up(max(np.asarray(bags[i]).shape[0] for i in present)),
             )
             X, bag_mask = pad_bags(
                 [np.asarray(bags[i], np.float32) for i in present], max_len

@@ -312,7 +312,10 @@ class MilAttentionFineTuneModel(BaseModel):
                     self.opt_state = state["opt_state"]
                     start_epoch = int(state["epoch"]) + 1
 
-        stopper = MetricEarlyStopping(patience=patience)
+        # initial_best -1.0: exception epochs (auc -> -1.0) never improve,
+        # so a never-valid val set keeps stop-time params (reference
+        # mil_attention_finetune.py:169-252 best_state-is-None path)
+        stopper = MetricEarlyStopping(patience=patience, initial_best=-1.0)
         for epoch in range(start_epoch, epochs):
             gate = np.float32(1.0 if epoch >= self.freeze_backbone_epochs else 0.0)
 

@@ -11,9 +11,10 @@ Reference semantics (models/mil_attention.py):
 TPU design: bags are padded to a STATIC max length (config-fixed, vs the
 reference's per-batch max — numerically identical through the masked
 softmax; SURVEY §7 hard-parts) so one program serves every batch. The
-whole epoch loop runs in a lax.scan; early stopping is expressed as
-"train all epochs, track argmax-val-AUC parameters on device" which
-returns exactly the reference's restored best state. Validation AUC per
+whole epoch loop runs in a lax.scan; early stopping keeps the scan's
+static shape by FREEZING params/optimizer once val AUC has stalled for
+``patience`` epochs (exactly the reference's patience-break + restore —
+see train_mil_impl). Validation AUC per
 epoch is the same sort-based device reduction used everywhere
 (ops.metrics.roc_auc). The masked-softmax attention pooling runs through
 the fused Pallas kernel on TPU (ops.pallas_mil).
@@ -26,17 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from pd_fusion.nn.mlp import linear_init
 from pd_fusion.ops.metrics import roc_auc
 from pd_fusion.ops.pallas_mil import attention_pool
 
 
 def _linear_init(key, fan_in, fan_out):
     k1, k2 = jax.random.split(key)
-    bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
-    return {
-        "w": jax.random.uniform(k1, (fan_in, fan_out), jnp.float32, -bound, bound),
-        "b": jax.random.uniform(k2, (fan_out,), jnp.float32, -bound, bound),
-    }
+    return linear_init(k1, k2, fan_in, fan_out)
 
 
 def mil_init(key, input_dim: int, hidden_dim: int, attn_dim: int, gated: bool) -> Dict:
@@ -111,13 +109,18 @@ def train_mil_impl(
     weight_decay: float,
     use_clip: bool,
     track_best: bool,
+    patience: int = 0,
 ):
     """Unjitted MIL trainer body — vmappable over a leading fold axis by
     the parallel CV engine; all epochs in one scan. Returns the
-    val-AUC-best params when track_best (early-stopping-with-restore
-    semantics) else final. ``w_row`` marks real rows (1) vs rows added by
-    cross-fold padding (0, exact no-ops in the weighted loss); with
-    w_row all-ones the training trajectory is identical to the
+    val-AUC-best params when track_best else final. With patience > 0 a
+    ``stopped`` carry flag freezes params/optimizer once val AUC has not
+    improved for ``patience`` epochs — the reference's patience-break +
+    restore EXACTLY (mil_attention.py:105-155), including the case where
+    AUC would have recovered after the window; patience=0 returns the
+    best epoch over the full run. ``w_row`` marks real rows (1) vs rows
+    added by cross-fold padding (0, exact no-ops in the weighted loss);
+    with w_row all-ones the training trajectory is identical to the
     pre-refactor single-fold program."""
     n = X.shape[0]
     n_batches = -(-n // batch_size)
@@ -133,7 +136,7 @@ def train_mil_impl(
     opt_state = tx.init(params)
 
     def epoch_step(carry, ek):
-        p, s, best_auc, best_p = carry
+        p, s, best_auc, best_p, since, stopped = carry
         perm_key, ek = jax.random.split(ek)
         perm = jax.random.permutation(perm_key, n)
         idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)]).reshape(n_batches, batch_size)
@@ -152,22 +155,37 @@ def train_mil_impl(
             updates, s = tx.update(grads, s, p)
             return (optax.apply_updates(p, updates), s), None
 
-        (p, s), _ = jax.lax.scan(batch_step, (p, s), (idx, wpad, bkeys))
+        (p2, s2), _ = jax.lax.scan(batch_step, (p, s), (idx, wpad, bkeys))
+        keep = lambda old, new: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, a, b), old, new
+        )
+        p, s = keep(p, p2), keep(s, s2)
 
         if track_best:
             val_logits = mil_apply(p, Xv, bag_mask_v, gated=gated)
             auc = roc_auc(yv, jax.nn.sigmoid(val_logits), wv)
-            improved = auc > best_auc
+            improved = jnp.logical_and(jnp.logical_not(stopped), auc > best_auc)
             best_p = jax.tree_util.tree_map(
                 lambda b, c: jnp.where(improved, c, b), best_p, p
             )
             best_auc = jnp.where(improved, auc, best_auc)
-        return (p, s, best_auc, best_p), None
+            since = jnp.where(stopped, since, jnp.where(improved, 0, since + 1))
+            if patience > 0:
+                stopped = jnp.logical_or(stopped, since >= patience)
+        return (p, s, best_auc, best_p, since, stopped), None
 
     ekeys = jax.random.split(key, epochs)
-    init = (params, opt_state, jnp.float32(-1.0), params)
-    (final_p, _, _, best_p), _ = jax.lax.scan(epoch_step, init, ekeys)
-    return best_p if track_best else final_p
+    init = (params, opt_state, jnp.float32(-jnp.inf), params,
+            jnp.int32(0), jnp.bool_(False))
+    (final_p, _, best_auc, best_p, _, _), _ = jax.lax.scan(epoch_step, init, ekeys)
+    if not track_best:
+        return final_p
+    # never-improved (e.g. NaN AUC from a single-class val set): return
+    # the params at stop time — the reference's best_state-is-None path
+    ever = jnp.isfinite(best_auc)
+    return jax.tree_util.tree_map(
+        lambda b, f: jnp.where(ever, b, f), best_p, final_p
+    )
 
 
 @partial(
@@ -180,18 +198,19 @@ def train_mil_impl(
         "weight_decay",
         "use_clip",
         "track_best",
+        "patience",
     ),
 )
 def train_mil(
     params, X, bag_mask, y, Xv, bag_mask_v, yv, wv, key, lr, pos_weight,
     max_grad_norm, epochs: int, batch_size: int, gated: bool, dropout: float,
-    weight_decay: float, use_clip: bool, track_best: bool,
+    weight_decay: float, use_clip: bool, track_best: bool, patience: int = 0,
 ):
     """Jitted single-model wrapper (all rows real)."""
     return train_mil_impl(
         params, X, bag_mask, y, jnp.ones((X.shape[0],), X.dtype), Xv, bag_mask_v,
         yv, wv, key, lr, pos_weight, max_grad_norm, epochs, batch_size, gated,
-        dropout, weight_decay, use_clip, track_best,
+        dropout, weight_decay, use_clip, track_best, patience,
     )
 
 

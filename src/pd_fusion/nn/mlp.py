@@ -24,16 +24,23 @@ import jax.numpy as jnp
 Params = List[Dict[str, jax.Array]]
 
 
+def linear_init(wkey: jax.Array, bkey: jax.Array, fan_in: int, fan_out: int):
+    """torch nn.Linear default init: U(+-1/sqrt(fan_in)) for both w and b
+    (the single source of the formula — mil_init reuses it with its own
+    key split so every family draws identically to its torch twin)."""
+    bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
+    return {
+        "w": jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(bkey, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
 def mlp_init(key: jax.Array, dims: Sequence[int]) -> Params:
     """dims = [in, h1, ..., hk, out]."""
     params: Params = []
     for i in range(len(dims) - 1):
         key, wk, bk = jax.random.split(key, 3)
-        fan_in = dims[i]
-        bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
-        w = jax.random.uniform(wk, (dims[i], dims[i + 1]), jnp.float32, -bound, bound)
-        b = jax.random.uniform(bk, (dims[i + 1],), jnp.float32, -bound, bound)
-        params.append({"w": w, "b": b})
+        params.append(linear_init(wk, bk, dims[i], dims[i + 1]))
     return params
 
 

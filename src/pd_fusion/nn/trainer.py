@@ -14,7 +14,7 @@ Optimizer parity: optax.chain(add_decayed_weights, adam) == torch.optim.
 Adam(lr, weight_decay) (L2 added to the gradient before the moments).
 """
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,15 +27,6 @@ def make_optimizer(lr: float, weight_decay: float = 0.0):
     if weight_decay and weight_decay > 0.0:
         return optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr))
     return optax.adam(lr)
-
-
-class TrainConfig(NamedTuple):
-    lr: float = 1e-3
-    epochs: int = 50
-    batch_size: int = 0  # 0 => full batch
-    dropout: float = 0.2
-    weight_decay: float = 0.0
-    moddrop_rate: float = 0.0  # per-batch whole-modality dropout prob
 
 
 def _loss(params, X, y, w, dropout_rate, key):
@@ -187,7 +178,7 @@ def train_minibatch_moddrop(
     )
 
 
-@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay", "patience"))
 def train_fullbatch_earlystop(
     params: Params,
     X: jax.Array,
@@ -200,12 +191,24 @@ def train_fullbatch_earlystop(
     epochs: int,
     dropout: float = 0.3,
     weight_decay: float = 0.0,
+    patience: int = 0,
 ) -> Params:
     """Full-batch Adam with pos-weighted BCE and on-device best-val-AUC
     tracking (the PPMI tabular suite's MLP recipe — reference scripts/
     ppmi_train_tabular.py:145-218: BCEWithLogits(pos_weight), per-epoch
-    val AUC, best-state restore). Runs all epochs in one scan and returns
-    the best-AUC parameters (equivalent to the patience-break + restore)."""
+    val AUC, patience-break, best-state restore). All epochs run in ONE
+    lax.scan; a ``stopped`` carry flag freezes params/optimizer once the
+    AUC has not improved for ``patience`` epochs, which reproduces the
+    reference's break + restore EXACTLY (including the case where AUC
+    would have recovered after the patience window — the reference never
+    sees those epochs). patience=0 disables the stop and returns the
+    best-AUC epoch over the full run. A NaN val AUC (single-class val —
+    sklearn raises there) maps to 0.0 exactly like the reference's
+    ``except ValueError: val_auc = 0.0``: with best_auc starting at
+    -inf, epoch 1 still "improves", so the degenerate-val run restores
+    epoch-1 params after 1+patience epochs, matching the reference.
+    The stopped epochs still cost their FLOPs (fixed-shape scan) but
+    nothing changes after the freeze except wall-clock on device."""
     from pd_fusion.ops.metrics import roc_auc
 
     tx = make_optimizer(lr, weight_decay)
@@ -218,20 +221,37 @@ def train_fullbatch_earlystop(
         return jnp.mean(l * w)
 
     def step(carry, k):
-        p, s, best_auc, best_p = carry
+        p, s, best_auc, best_p, since, stopped = carry
         grads = jax.grad(loss_fn)(p, k)
-        updates, s = tx.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        val_prob = jax.nn.sigmoid(mlp_apply(p, Xv))
+        updates, s2 = tx.update(grads, s, p)
+        p2 = optax.apply_updates(p, updates)
+        keep = lambda old, new: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, a, b), old, new
+        )
+        p_new, s_new = keep(p, p2), keep(s, s2)
+        val_prob = jax.nn.sigmoid(mlp_apply(p_new, Xv))
         auc = roc_auc(yv, val_prob)
-        improved = auc > best_auc
-        best_p = jax.tree_util.tree_map(lambda b, c: jnp.where(improved, c, b), best_p, p)
+        # reference (ppmi_train_tabular.py:199-201): roc_auc_score raising
+        # (single-class val) maps to 0.0, which still beats the -inf init
+        auc = jnp.where(jnp.isnan(auc), jnp.float32(0.0), auc)
+        improved = jnp.logical_and(jnp.logical_not(stopped), auc > best_auc)
+        best_p = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(improved, c, b), best_p, p_new
+        )
         best_auc = jnp.where(improved, auc, best_auc)
-        return (p, s, best_auc, best_p), None
+        since = jnp.where(stopped, since, jnp.where(improved, 0, since + 1))
+        if patience > 0:
+            stopped = jnp.logical_or(stopped, since >= patience)
+        return (p_new, s_new, best_auc, best_p, since, stopped), None
 
     keys = jax.random.split(key, epochs)
-    (_, _, _, best_p), _ = jax.lax.scan(step, (params, opt_state, jnp.float32(-jnp.inf), params), keys)
-    return best_p
+    init = (params, opt_state, jnp.float32(-jnp.inf), params,
+            jnp.int32(0), jnp.bool_(False))
+    (final_p, _, best_auc, best_p, _, _), _ = jax.lax.scan(step, init, keys)
+    ever = jnp.isfinite(best_auc)
+    return jax.tree_util.tree_map(
+        lambda b, f: jnp.where(ever, b, f), best_p, final_p
+    )
 
 
 @jax.jit

@@ -775,7 +775,7 @@ def _mil_init_program(input_dim, hidden_dim, attn_dim, gated):
 
 @lru_cache(maxsize=None)
 def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay,
-                            use_clip, track_best):
+                            use_clip, track_best, patience):
     # cached on the static hyperparams: a multi-seed sweep re-enters with
     # identical values and must reuse the jitted program instead of
     # retracing (a fresh jit object defeats jax's compile cache lookup
@@ -789,6 +789,7 @@ def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay
             trained = train_mil_impl(
                 p0, x, b, yy, wr, xt, mtt, ytt, wtt, k, lr, pw, gn, epochs,
                 batch_size, gated, dropout, weight_decay, use_clip, track_best,
+                patience,
             )
             pv = jax.nn.sigmoid(mil_apply(trained, xv, mvv, gated=gated))
             pc = jax.nn.sigmoid(mil_apply(trained, xc, mcc, gated=gated))
@@ -897,6 +898,11 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
     input_dim = bag_dims.pop()
     if "max_len" in params_cfg:
         max_len = int(params_cfg["max_len"])
+        if max_len < max(bag_lens):
+            raise ValueError(
+                f"config max_len={max_len} would truncate bags "
+                f"(longest bag has {max(bag_lens)} instances)"
+            )
     else:
         max_len = ((max(bag_lens) + 7) // 8) * 8  # TPU sublane alignment
 
@@ -973,6 +979,7 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
         float(params_cfg.get("lr", 1e-3)), int(params_cfg.get("epochs", 30)),
         batch_size, gated, float(params_cfg.get("dropout", 0.3)),
         float(params_cfg.get("weight_decay", 0.0)), bool(max_grad_norm), track_best,
+        patience if track_best else 0,
     )
     buf = np.asarray(program(
         params_stack, jnp.asarray(X), jnp.asarray(BM), jnp.asarray(Y), jnp.asarray(WR),

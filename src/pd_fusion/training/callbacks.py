@@ -39,11 +39,16 @@ class MetricEarlyStopping:
     only on improvement; ``best_state`` holds the captured snapshot.
     """
 
-    def __init__(self, patience: int = 5, min_delta: float = 0.0):
+    def __init__(self, patience: int = 5, min_delta: float = 0.0,
+                 initial_best: float = float("-inf")):
+        # initial_best matters in the degenerate all-exception case: the
+        # MIL loops map a failed AUC to -1.0 and init best to -1.0
+        # (reference mil_attention_finetune.py:169-252), so such epochs
+        # never improve and best_state stays None -> no restore
         self.patience = patience
         self.min_delta = min_delta
         self.counter = 0
-        self.best_metric = float("-inf")
+        self.best_metric = initial_best
         self.best_state: Any = None
         self.early_stop = False
 

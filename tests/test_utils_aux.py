@@ -58,6 +58,16 @@ def test_callbacks():
     assert stopped and mes.early_stop
     assert mes.best_metric == 0.7 and mes.best_state == "state_b"
 
+    # MIL degenerate-val semantics: exception epochs map to -1.0 and the
+    # best inits at -1.0 (reference mil_attention_finetune.py:169-252), so
+    # they never improve, best_state stays None, and the loop breaks after
+    # `patience` epochs without a restore
+    mes2 = MetricEarlyStopping(patience=2, initial_best=-1.0)
+    assert not mes2.update(-1.0, lambda: "epoch1")
+    assert mes2.best_state is None
+    assert mes2.update(-1.0, lambda: "epoch2")
+    assert mes2.early_stop and mes2.best_state is None
+
 
 def test_save_yaml_casts_numpy(tmp_path):
     import yaml
