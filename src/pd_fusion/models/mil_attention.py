@@ -81,12 +81,37 @@ class MilAttentionModel(BaseModel):
 
         patience = int(self.params.get("early_stopping_patience", 0))
         track_best = bool(val_data is not None and patience > 0)
+        vmiss = None
         if track_best:
+            # the reference scores the ENTIRE val set through
+            # predict_proba each epoch (mil_attention.py:139-143), so a
+            # None bag contributes the constant missing_prob with its
+            # true label — it must stay in the per-epoch AUC, not be
+            # dropped. Val bags longer than a configured max_len widen
+            # the val pad locally (the reference pads per-batch and
+            # never truncates); train/val pad lengths are independent.
             val_bags, y_val = val_data
-            keep = [i for i, b in enumerate(val_bags) if b is not None]
-            Xv, mv = pad_bags([np.asarray(val_bags[i], np.float32) for i in keep], self.max_len)
-            yv = np.asarray(y_val, np.float32)[keep]
-            wv = np.ones(len(keep), np.float32)
+            nv = len(val_bags)
+            v_real = [i for i, b in enumerate(val_bags) if b is not None]
+            vlen = self.max_len
+            if v_real:
+                vlen = max(vlen, _round_up(
+                    max(np.asarray(val_bags[i]).shape[0] for i in v_real)
+                ))
+            Xv = np.zeros((nv, vlen, self.input_dim), np.float32)
+            # all-ones mask on missing rows: finite logits through the
+            # masked softmax (overridden by vmiss before the AUC)
+            mv = np.ones((nv, vlen), np.float32)
+            if v_real:
+                xr, mr = pad_bags(
+                    [np.asarray(val_bags[i], np.float32) for i in v_real], vlen
+                )
+                Xv[v_real], mv[v_real] = xr, mr
+            yv = np.asarray(y_val, np.float32)
+            wv = np.ones(nv, np.float32)
+            vmiss = np.array(
+                [0.0 if b is not None else 1.0 for b in val_bags], np.float32
+            )
         else:
             Xv = np.zeros((1, self.max_len, self.input_dim), np.float32)
             mv = np.ones((1, self.max_len), np.float32)
@@ -115,6 +140,8 @@ class MilAttentionModel(BaseModel):
             bool(max_grad_norm),
             track_best,
             patience=patience if track_best else 0,
+            vmiss=vmiss,
+            missing_prob=self.missing_prob,
         )
         jax.block_until_ready(self.net_params)
 

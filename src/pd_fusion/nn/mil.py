@@ -110,6 +110,8 @@ def train_mil_impl(
     use_clip: bool,
     track_best: bool,
     patience: int = 0,
+    vmiss=None,
+    missing_prob: float = 0.5,
 ):
     """Unjitted MIL trainer body — vmappable over a leading fold axis by
     the parallel CV engine; all epochs in one scan. Returns the
@@ -118,10 +120,15 @@ def train_mil_impl(
     improved for ``patience`` epochs — the reference's patience-break +
     restore EXACTLY (mil_attention.py:105-155), including the case where
     AUC would have recovered after the window; patience=0 returns the
-    best epoch over the full run. ``w_row`` marks real rows (1) vs rows
+    best epoch over the full run (the MIL reference gates tracking on
+    ``patience > 0``, :137). ``w_row`` marks real rows (1) vs rows
     added by cross-fold padding (0, exact no-ops in the weighted loss);
     with w_row all-ones the training trajectory is identical to the
-    pre-refactor single-fold program."""
+    pre-refactor single-fold program. ``vmiss`` ([Nv], optional) flags
+    val rows whose bag is missing: the reference's train loop scores the
+    val set through ``predict_proba``, which emits the constant
+    ``missing_prob`` for a None bag (mil_attention.py:139-143 + 169-172)
+    — those rows still enter the per-epoch AUC."""
     n = X.shape[0]
     n_batches = -(-n // batch_size)
     pad = n_batches * batch_size - n
@@ -163,7 +170,18 @@ def train_mil_impl(
 
         if track_best:
             val_logits = mil_apply(p, Xv, bag_mask_v, gated=gated)
-            auc = roc_auc(yv, jax.nn.sigmoid(val_logits), wv)
+            val_prob = jax.nn.sigmoid(val_logits)
+            if vmiss is not None:
+                val_prob = jnp.where(vmiss > 0, jnp.float32(missing_prob), val_prob)
+            auc = roc_auc(yv, val_prob, wv)
+            # reference (mil_attention.py:140-143): sklearn raises on NaN
+            # probs from diverged params -> except -> auc = -1.0 -> never
+            # beats any previous best (nor the -1.0 init). Our sort-based
+            # AUC would return finite garbage on NaN scores, so check the
+            # real (wv > 0) probs directly; a NaN AUC compares False in
+            # `auc > best_auc`, reproducing the never-improve trajectory.
+            bad = jnp.any(jnp.logical_and(jnp.isnan(val_prob), wv > 0))
+            auc = jnp.where(bad, jnp.float32(jnp.nan), auc)
             improved = jnp.logical_and(jnp.logical_not(stopped), auc > best_auc)
             best_p = jax.tree_util.tree_map(
                 lambda b, c: jnp.where(improved, c, b), best_p, p
@@ -199,18 +217,21 @@ def train_mil_impl(
         "use_clip",
         "track_best",
         "patience",
+        "missing_prob",
     ),
 )
 def train_mil(
     params, X, bag_mask, y, Xv, bag_mask_v, yv, wv, key, lr, pos_weight,
     max_grad_norm, epochs: int, batch_size: int, gated: bool, dropout: float,
     weight_decay: float, use_clip: bool, track_best: bool, patience: int = 0,
+    vmiss=None, missing_prob: float = 0.5,
 ):
     """Jitted single-model wrapper (all rows real)."""
     return train_mil_impl(
         params, X, bag_mask, y, jnp.ones((X.shape[0],), X.dtype), Xv, bag_mask_v,
         yv, wv, key, lr, pos_weight, max_grad_norm, epochs, batch_size, gated,
         dropout, weight_decay, use_clip, track_best, patience,
+        vmiss=vmiss, missing_prob=missing_prob,
     )
 
 

@@ -25,9 +25,12 @@ Params = List[Dict[str, jax.Array]]
 
 
 def linear_init(wkey: jax.Array, bkey: jax.Array, fan_in: int, fan_out: int):
-    """torch nn.Linear default init: U(+-1/sqrt(fan_in)) for both w and b
-    (the single source of the formula — mil_init reuses it with its own
-    key split so every family draws identically to its torch twin)."""
+    """torch nn.Linear default init: U(+-1/sqrt(fan_in)) for both w and b.
+    mil_init reuses it with its own key split so those families draw
+    identically to their torch twins. NOTE: cnn3d keeps a separate
+    ``_linear_init`` on purpose — it computes the bound in host float64
+    and consumes keys differently, and changing either would break
+    reproducibility of existing cnn3d checkpoints."""
     bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
     return {
         "w": jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -bound, bound),

@@ -191,7 +191,7 @@ def train_fullbatch_earlystop(
     epochs: int,
     dropout: float = 0.3,
     weight_decay: float = 0.0,
-    patience: int = 0,
+    patience: int = -1,
 ) -> Params:
     """Full-batch Adam with pos-weighted BCE and on-device best-val-AUC
     tracking (the PPMI tabular suite's MLP recipe — reference scripts/
@@ -201,14 +201,21 @@ def train_fullbatch_earlystop(
     AUC has not improved for ``patience`` epochs, which reproduces the
     reference's break + restore EXACTLY (including the case where AUC
     would have recovered after the patience window — the reference never
-    sees those epochs). patience=0 disables the stop and returns the
-    best-AUC epoch over the full run. A NaN val AUC (single-class val —
-    sklearn raises there) maps to 0.0 exactly like the reference's
-    ``except ValueError: val_auc = 0.0``: with best_auc starting at
-    -inf, epoch 1 still "improves", so the degenerate-val run restores
-    epoch-1 params after 1+patience epochs, matching the reference.
-    The stopped epochs still cost their FLOPs (fixed-shape scan) but
-    nothing changes after the freeze except wall-clock on device."""
+    sees those epochs). The reference's break has NO ``patience > 0``
+    guard (``patience_ctr >= patience`` fires on the first non-improving
+    epoch when patience=0), so patience=0 keeps that meaning here; a
+    NEGATIVE patience disables stopping and returns the best-AUC epoch
+    over the full run (our extension — the reference always stops).
+    A val AUC the reference could not compute maps to 0.0 exactly like
+    its ``except ValueError: val_auc = 0.0`` — that covers BOTH the
+    single-class val set (our tie-exact AUC yields NaN) and NaN
+    probabilities from diverged params (sklearn raises "Input contains
+    NaN"; our sort-based AUC would return finite garbage, so the guard
+    checks the probs explicitly). 0.0 still beats the -inf init, so a
+    degenerate-val run restores epoch-1 params after 1+patience epochs,
+    matching the reference. The stopped epochs still cost their FLOPs
+    (fixed-shape scan) but nothing changes after the freeze except
+    wall-clock on device."""
     from pd_fusion.ops.metrics import roc_auc
 
     tx = make_optimizer(lr, weight_decay)
@@ -232,16 +239,27 @@ def train_fullbatch_earlystop(
         val_prob = jax.nn.sigmoid(mlp_apply(p_new, Xv))
         auc = roc_auc(yv, val_prob)
         # reference (ppmi_train_tabular.py:199-201): roc_auc_score raising
-        # (single-class val) maps to 0.0, which still beats the -inf init
-        auc = jnp.where(jnp.isnan(auc), jnp.float32(0.0), auc)
+        # maps to 0.0, which still beats the -inf init. It raises both on
+        # a single-class val set (our AUC: NaN) and on NaN probabilities
+        # from diverged params (our AUC: finite garbage — NaN scores sort
+        # as top ranks), so the probs must be checked directly.
+        bad = jnp.logical_or(jnp.isnan(auc), jnp.any(jnp.isnan(val_prob)))
+        auc = jnp.where(bad, jnp.float32(0.0), auc)
         improved = jnp.logical_and(jnp.logical_not(stopped), auc > best_auc)
         best_p = jax.tree_util.tree_map(
             lambda b, c: jnp.where(improved, c, b), best_p, p_new
         )
         best_auc = jnp.where(improved, auc, best_auc)
         since = jnp.where(stopped, since, jnp.where(improved, 0, since + 1))
-        if patience > 0:
-            stopped = jnp.logical_or(stopped, since >= patience)
+        # no `patience > 0` gate — the reference breaks whenever
+        # patience_ctr >= patience (ppmi_train_tabular.py:207-209), so
+        # patience=0 stops at the first non-improving epoch; negative
+        # disables stopping (our extension). max(patience, 1): the
+        # reference checks only in the non-improve branch where the
+        # counter is >= 1, so an improving epoch (since == 0) must not
+        # trip the patience=0 stop.
+        if patience >= 0:
+            stopped = jnp.logical_or(stopped, since >= max(patience, 1))
         return (p_new, s_new, best_auc, best_p, since, stopped), None
 
     keys = jax.random.split(key, epochs)

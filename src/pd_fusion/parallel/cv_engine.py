@@ -775,7 +775,7 @@ def _mil_init_program(input_dim, hidden_dim, attn_dim, gated):
 
 @lru_cache(maxsize=None)
 def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay,
-                            use_clip, track_best, patience):
+                            use_clip, track_best, patience, missing_prob):
     # cached on the static hyperparams: a multi-seed sweep re-enters with
     # identical values and must reuse the jitted program instead of
     # retracing (a fresh jit object defeats jax's compile cache lookup
@@ -783,20 +783,20 @@ def _mil_cv_program_factory(lr, epochs, batch_size, gated, dropout, weight_decay
     from pd_fusion.nn.mil import mil_apply, train_mil_impl
 
     @jax.jit
-    def program(params_stack, X, bm, y, w_row, Xt, mt, yt, wt, Xv, mv, Xc, mc,
+    def program(params_stack, X, bm, y, w_row, Xt, mt, yt, wt, vt, Xv, mv, Xc, mc,
                 keys, pos_weight, max_grad_norm):
-        def one_fold(p0, x, b, yy, wr, xt, mtt, ytt, wtt, xv, mvv, xc, mcc, k, pw, gn):
+        def one_fold(p0, x, b, yy, wr, xt, mtt, ytt, wtt, vtt, xv, mvv, xc, mcc, k, pw, gn):
             trained = train_mil_impl(
                 p0, x, b, yy, wr, xt, mtt, ytt, wtt, k, lr, pw, gn, epochs,
                 batch_size, gated, dropout, weight_decay, use_clip, track_best,
-                patience,
+                patience, vmiss=vtt, missing_prob=missing_prob,
             )
             pv = jax.nn.sigmoid(mil_apply(trained, xv, mvv, gated=gated))
             pc = jax.nn.sigmoid(mil_apply(trained, xc, mcc, gated=gated))
             return jnp.concatenate([pv, pc])
 
         return jax.vmap(one_fold)(
-            params_stack, X, bm, y, w_row, Xt, mt, yt, wt, Xv, mv, Xc, mc,
+            params_stack, X, bm, y, w_row, Xt, mt, yt, wt, vt, Xv, mv, Xc, mc,
             keys, pos_weight, max_grad_norm,
         )
 
@@ -857,7 +857,7 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
 
     # ---- collect per-fold bag sets --------------------------------------
     fold_rows = []
-    bag_dims, bag_lens = set(), []
+    bag_dims, bag_lens, tr_lens = set(), [], []
     for fi, (train_df, val_df) in enumerate(folds):
         val_masks = get_subset_masks(masks, val_df.index)
         bags_tr = train_df[mil_col].tolist()
@@ -882,6 +882,8 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
                 b = np.asarray(src[j])
                 bag_lens.append(b.shape[0])
                 bag_dims.add(b.shape[1])
+                if src is bags_tr:
+                    tr_lens.append(b.shape[0])
 
         fold_rows.append({
             "bags_tr": [np.asarray(bags_tr[j], np.float32) for j in keep_tr],
@@ -897,12 +899,17 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
         raise ValueError(f"inconsistent MIL bag feature dims: {bag_dims}")
     input_dim = bag_dims.pop()
     if "max_len" in params_cfg:
+        # matches MilAttentionModel.train: a configured max_len that
+        # would truncate TRAINING bags raises (static shapes need a
+        # correct bound); val/cal bags longer than it just widen the
+        # shared pad — the reference pads per-batch and never truncates.
         max_len = int(params_cfg["max_len"])
-        if max_len < max(bag_lens):
+        if tr_lens and max_len < max(tr_lens):
             raise ValueError(
-                f"config max_len={max_len} would truncate bags "
-                f"(longest bag has {max(bag_lens)} instances)"
+                f"config max_len={max_len} would truncate training bags "
+                f"(longest bag has {max(tr_lens)} instances)"
             )
+        max_len = max(max_len, ((max(bag_lens) + 7) // 8) * 8)
     else:
         max_len = ((max(bag_lens) + 7) // 8) * 8  # TPU sublane alignment
 
@@ -944,23 +951,43 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
 
     # early-stopping tracking set per fold: the frame the sequential
     # train_pipeline passes as val_data (calib split when nested, else
-    # the val fold), kept bags only — matching MilAttentionModel.train
+    # the val fold). ALL rows of that frame enter the per-epoch AUC —
+    # the reference scores it through predict_proba, so a missing (None)
+    # bag contributes the constant missing_prob with its true label
+    # (reference mil_attention.py:139-143 + 169-172); the VT flags mark
+    # those rows and train_mil_impl overrides their probs.
     if track_best and nested:
-        Xt, Mt = XC, MC
-        Yt = np.zeros((K, nc_w), np.float32)
-        Wt = np.zeros((K, nc_w), np.float32)
-        for i, r in enumerate(fold_rows):
-            kc = len(r["keep_cal"])
-            Yt[i, :kc] = r["y_cal"][r["keep_cal"]]
-            Wt[i, :kc] = 1.0
+        frames = [(r["bags_cal"], r["y_cal"]) for r in fold_rows]
     else:
-        Xt, Mt = XV, MV
-        Yt = np.zeros((K, nv_w), np.float32)
-        Wt = np.zeros((K, nv_w), np.float32)
-        for i, r in enumerate(fold_rows):
-            kv = len(r["keep_va"])
-            Yt[i, :kv] = r["y_va"][r["keep_va"]]
-            Wt[i, :kv] = 1.0
+        frames = [(r["bags_va"], r["y_va"]) for r in fold_rows]
+    if track_best:
+        nt_w = max(max(len(yf) for _, yf in frames), 1)
+        Xt = np.zeros((K, nt_w, max_len, input_dim), np.float32)
+        # all-ones mask on missing/padding rows: finite logits through
+        # the masked softmax (missing rows are overridden via VT; padding
+        # rows carry Wt == 0 and are excluded from the weighted AUC)
+        Mt = np.ones((K, nt_w, max_len), np.float32)
+        Yt = np.zeros((K, nt_w), np.float32)
+        Wt = np.zeros((K, nt_w), np.float32)
+        VT = np.zeros((K, nt_w), np.float32)
+        for i, (bags_t, y_t) in enumerate(frames):
+            nt = len(y_t)
+            keep = [j for j, b in enumerate(bags_t) if b is not None]
+            if keep:
+                xk, mk = _pad_kept_bags(bags_t, keep, max_len, input_dim, len(keep))
+                Xt[i, keep], Mt[i, keep] = xk, mk
+            for j in range(nt):
+                VT[i, j] = 0.0 if bags_t[j] is not None else 1.0
+            Yt[i, :nt] = y_t
+            Wt[i, :nt] = 1.0
+    else:
+        # unused by the program when track_best is static False
+        nt_w = 1
+        Xt = np.zeros((K, 1, max_len, input_dim), np.float32)
+        Mt = np.ones((K, 1, max_len), np.float32)
+        Yt = np.zeros((K, 1), np.float32)
+        Wt = np.zeros((K, 1), np.float32)
+        VT = np.zeros((K, 1), np.float32)
 
     # interleaved (init, train) key draws per fold = the sequential
     # loop's consumption order of the global chain
@@ -979,13 +1006,13 @@ def _run_parallel_cv_mil(config, folds, masks, scenarios, group_col, calib_dfs,
         float(params_cfg.get("lr", 1e-3)), int(params_cfg.get("epochs", 30)),
         batch_size, gated, float(params_cfg.get("dropout", 0.3)),
         float(params_cfg.get("weight_decay", 0.0)), bool(max_grad_norm), track_best,
-        patience if track_best else 0,
+        patience if track_best else 0, missing_prob,
     )
     buf = np.asarray(program(
         params_stack, jnp.asarray(X), jnp.asarray(BM), jnp.asarray(Y), jnp.asarray(WR),
         jnp.asarray(Xt), jnp.asarray(Mt), jnp.asarray(Yt), jnp.asarray(Wt),
-        jnp.asarray(XV), jnp.asarray(MV), jnp.asarray(XC), jnp.asarray(MC),
-        train_keys, jnp.asarray(pos_w),
+        jnp.asarray(VT), jnp.asarray(XV), jnp.asarray(MV), jnp.asarray(XC),
+        jnp.asarray(MC), train_keys, jnp.asarray(pos_w),
         jnp.asarray(np.full(K, float(max_grad_norm or 1.0), np.float32)),
     ))
     kept_val_probs = buf[:, :nv_w]

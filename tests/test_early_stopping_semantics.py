@@ -61,14 +61,22 @@ def _fullbatch_oracle(params, X, y, Xv, yv, key, lr, pos_weight, epochs,
         grads = jax.grad(loss_fn)(p, k)
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
-        auc = float(roc_auc(jnp.asarray(yv), jax.nn.sigmoid(mlp_apply(p, Xv))))
-        if np.isnan(auc):
-            auc = 0.0  # reference: except ValueError -> 0.0
+        probs = np.asarray(jax.nn.sigmoid(mlp_apply(p, Xv)))
+        # reference: roc_auc_score raises on NaN probs AND single-class
+        # val -> except ValueError -> 0.0
+        if np.isnan(probs).any():
+            auc = 0.0
+        else:
+            auc = float(roc_auc(jnp.asarray(yv), jnp.asarray(probs)))
+            if np.isnan(auc):
+                auc = 0.0
         if auc > best_auc:
             best_auc, best_p, bad = auc, jax.device_get(p), 0
         else:
             bad += 1
-            if patience > 0 and bad >= patience:
+            # reference has NO patience>0 gate (ppmi_train_tabular.py:
+            # 207-209); negative patience = our disabled extension
+            if patience >= 0 and bad >= patience:
                 stop_epoch = i
                 break
     return (best_p if best_p is not None else jax.device_get(p)), stop_epoch
@@ -103,7 +111,28 @@ def test_fullbatch_patience_matches_reference_loop():
     _assert_tree_close(ours, oracle, atol=1e-5)
 
 
-def test_fullbatch_patience_zero_is_best_over_all_epochs():
+def test_fullbatch_patience_negative_is_best_over_all_epochs():
+    X, y, Xv, yv = _tab_data(seed=5)
+    key = jax.random.PRNGKey(11)
+    p0 = mlp_init(jax.random.PRNGKey(2), [X.shape[1], 16, 1])
+    epochs = 25
+
+    oracle, stop_epoch = _fullbatch_oracle(
+        p0, jnp.asarray(X), jnp.asarray(y), Xv, yv, key, 1e-2,
+        np.float32(1.0), epochs, 0.0, patience=-1
+    )
+    assert stop_epoch is None
+    ours = train_fullbatch_earlystop(
+        p0, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xv), jnp.asarray(yv),
+        key, 1e-2, np.float32(1.0), epochs, dropout=0.0, patience=-1
+    )
+    _assert_tree_close(ours, oracle, atol=1e-5)
+
+
+def test_fullbatch_patience_zero_breaks_at_first_plateau():
+    # the reference's break is `patience_ctr >= patience` with no >0
+    # gate, so patience=0 stops at the FIRST non-improving epoch (an
+    # improving epoch resets the counter and skips the check entirely)
     X, y, Xv, yv = _tab_data(seed=5)
     key = jax.random.PRNGKey(11)
     p0 = mlp_init(jax.random.PRNGKey(2), [X.shape[1], 16, 1])
@@ -113,12 +142,26 @@ def test_fullbatch_patience_zero_is_best_over_all_epochs():
         p0, jnp.asarray(X), jnp.asarray(y), Xv, yv, key, 1e-2,
         np.float32(1.0), epochs, 0.0, patience=0
     )
-    assert stop_epoch is None
+    assert stop_epoch is not None and stop_epoch < epochs - 1
     ours = train_fullbatch_earlystop(
         p0, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xv), jnp.asarray(yv),
         key, 1e-2, np.float32(1.0), epochs, dropout=0.0, patience=0
     )
     _assert_tree_close(ours, oracle, atol=1e-5)
+    # discrimination vs the disabled (-1) run: the full run restores a
+    # later best epoch, so a patience=0 implementation that never stops
+    # cannot pass
+    disabled, _ = _fullbatch_oracle(
+        p0, jnp.asarray(X), jnp.asarray(y), Xv, yv, key, 1e-2,
+        np.float32(1.0), epochs, 0.0, patience=-1
+    )
+    gap = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(disabled)
+        )
+    )
+    assert gap > 1e-3, gap
 
 
 def test_fullbatch_single_class_val_restores_epoch1():
@@ -167,9 +210,12 @@ def _mil_data(seed=0, n=24, d=8, L=16, sig=0.8):
 
 
 def _mil_oracle(params, X, mask, y, Xv, mv, yv, wv, key, lr, pos_weight,
-                epochs, batch_size, gated, dropout, patience):
+                epochs, batch_size, gated, dropout, patience,
+                vmiss=None, missing_prob=0.5):
     """Reference models/mil_attention.py:105-155 control flow, eager, with
-    the trainer's exact key schedule and batch math."""
+    the trainer's exact key schedule and batch math. ``vmiss`` emulates
+    predict_proba's constant ``missing_prob`` for None val bags
+    (reference :169-172)."""
     n = X.shape[0]
     n_batches = -(-n // batch_size)
     pad = n_batches * batch_size - n
@@ -193,10 +239,17 @@ def _mil_oracle(params, X, mask, y, Xv, mv, yv, wv, key, lr, pos_weight,
             )
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-        auc = float(roc_auc(yv, jax.nn.sigmoid(
-            mil_apply(p, Xv, mv, gated=gated)), wv))
-        if np.isnan(auc):
-            auc = -1.0  # reference: except Exception -> -1.0 (never improves)
+        probs = np.asarray(jax.nn.sigmoid(mil_apply(p, Xv, mv, gated=gated)))
+        if vmiss is not None:
+            probs = np.where(np.asarray(vmiss) > 0, missing_prob, probs)
+        # reference: except Exception -> -1.0 (never improves); sklearn
+        # raises both on single-class y_val and on NaN probs
+        if np.isnan(probs[np.asarray(wv) > 0]).any():
+            auc = -1.0
+        else:
+            auc = float(roc_auc(yv, jnp.asarray(probs), wv))
+            if np.isnan(auc):
+                auc = -1.0
         if auc > best_auc:
             best_auc, best_p, bad = auc, jax.device_get(p), 0
         else:
@@ -294,3 +347,218 @@ def test_mil_nan_val_auc_returns_stop_time_params():
         )
     )
     assert gap > 0.05, gap
+
+
+# ------------------------------------------- NaN-probability parity ----
+
+
+def test_fullbatch_nan_val_probs_map_to_zero_auc():
+    # NaN val FEATURES (the reference's real-world divergence mode — its
+    # quickstart data carries NaNs) make every epoch's val probs NaN.
+    # sklearn's roc_auc_score raises "Input contains NaN" -> the
+    # reference maps it to val_auc = 0.0 EVERY epoch: epoch 1 improves
+    # (0.0 > -inf), every later epoch plateaus, break at 1 + patience,
+    # epoch-1 params restored. Our sort-based AUC would return finite
+    # garbage on NaN scores (which can keep "improving" and restore a
+    # late diverged epoch) — the explicit probs check must pin this.
+    X, y, Xv, yv = _tab_data(seed=7)
+    Xv_clean = Xv.copy()
+    Xv = Xv.copy()
+    Xv[:3] = np.nan  # a minority of rows: garbage AUC would evolve
+    key = jax.random.PRNGKey(17)
+    p0 = mlp_init(jax.random.PRNGKey(3), [X.shape[1], 16, 1])
+    epochs, patience = 20, 3
+
+    oracle, stop_epoch = _fullbatch_oracle(
+        p0, jnp.asarray(X), jnp.asarray(y), Xv, yv, key, 1e-2,
+        np.float32(1.0), epochs, 0.0, patience
+    )
+    assert stop_epoch == patience  # epoch-1 improve + `patience` plateaus
+
+    ours = train_fullbatch_earlystop(
+        p0, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xv), jnp.asarray(yv),
+        key, 1e-2, np.float32(1.0), epochs, dropout=0.0, patience=patience
+    )
+    _assert_tree_close(ours, oracle, atol=1e-5)
+    for leaf in jax.tree_util.tree_leaves(ours):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # sensitivity: restoring a later epoch (what evolving garbage AUC
+    # would do) differs from the epoch-1 restore by far more than the
+    # tolerance — the clean-val full run restores a late best epoch
+    full, _ = _fullbatch_oracle(
+        p0, jnp.asarray(X), jnp.asarray(y), Xv_clean, yv, key, 1e-2,
+        np.float32(1.0), epochs, 0.0, patience=-1
+    )
+    gap = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(full)
+        )
+    )
+    assert gap > 1e-3, gap
+
+
+def test_mil_nan_val_probs_never_improve():
+    # MIL reference maps the sklearn raise to -1.0 (not 0.0): with the
+    # -1.0 init it NEVER improves, so after `patience` bad epochs it
+    # breaks and keeps the stop-time params (best_state stays None).
+    X, mask, y, Xv, mv, yv = _mil_data(seed=6)
+    Xv = Xv.copy()
+    Xv[:2] = np.nan
+    wv = np.ones(len(yv), np.float32)
+    key = jax.random.PRNGKey(29)
+    p0 = mil_init(jax.random.PRNGKey(9), X.shape[2], 16, 8, False)
+    epochs, patience = 20, 3
+
+    oracle, stop_epoch = _mil_oracle(
+        p0, jnp.asarray(X), jnp.asarray(mask), jnp.asarray(y), jnp.asarray(Xv),
+        jnp.asarray(mv), jnp.asarray(yv), jnp.asarray(wv), key, 1e-2,
+        np.float32(1.0), epochs, 8, False, 0.0, patience
+    )
+    assert stop_epoch == patience - 1  # bad from epoch 1, no improvement
+
+    ours = train_mil(
+        p0, jnp.asarray(X), jnp.asarray(mask), jnp.asarray(y), jnp.asarray(Xv),
+        jnp.asarray(mv), jnp.asarray(yv), jnp.asarray(wv), key, 1e-2,
+        np.float32(1.0), np.float32(1.0), epochs, 8, False, 0.0, 0.0,
+        False, True, patience=patience,
+    )
+    _assert_tree_close(ours, oracle, atol=1e-2)
+    for leaf in jax.tree_util.tree_leaves(ours):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    full_run = train_mil(
+        p0, jnp.asarray(X), jnp.asarray(mask), jnp.asarray(y), jnp.asarray(Xv),
+        jnp.asarray(mv), jnp.asarray(yv), jnp.asarray(wv), key, 1e-2,
+        np.float32(1.0), np.float32(1.0), epochs, 8, False, 0.0, 0.0,
+        False, False, patience=0,
+    )
+    gap = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(full_run)
+        )
+    )
+    assert gap > 0.05, gap
+
+
+# ------------------------------------- missing val bags in the AUC ----
+
+
+def test_mil_missing_val_bags_enter_auc_at_missing_prob():
+    # reference train loop scores the WHOLE val set via predict_proba:
+    # a None bag contributes the constant missing_prob with its true
+    # label (mil_attention.py:139-143 + 169-172). Dropping those rows
+    # (the old behavior) changes the per-epoch AUC -> different stop
+    # epoch / restored params.
+    # seed 6: including the missing rows moves the stop epoch (2 vs 8)
+    # and the restored params (gap ~0.18) vs dropping them
+    X, mask, y, Xv, mv, yv = _mil_data(seed=6)
+    nv = len(yv)
+    vmiss = np.zeros(nv, np.float32)
+    vmiss[[1, 4, 7, 9]] = 1.0  # bags "missing" -> constant 0.5
+    # missing rows: zero bag, full mask (finite logits; overridden)
+    Xv = Xv.copy(); mv = mv.copy()
+    Xv[vmiss > 0] = 0.0
+    mv[vmiss > 0] = 1.0
+    wv = np.ones(nv, np.float32)
+    key = jax.random.PRNGKey(31)
+    p0 = mil_init(jax.random.PRNGKey(12), X.shape[2], 16, 8, False)
+    epochs, patience = 30, 2
+    args = tuple(map(jnp.asarray, (X, mask, y, Xv, mv, yv, wv)))
+
+    oracle, stop_epoch = _mil_oracle(
+        p0, *args, key, 1e-2, np.float32(1.0), epochs, 8, False, 0.0,
+        patience, vmiss=vmiss, missing_prob=0.5,
+    )
+
+    ours = train_mil(
+        p0, *args, key, 1e-2, np.float32(1.0), np.float32(1.0), epochs, 8,
+        False, 0.0, 0.0, False, True, patience=patience,
+        vmiss=jnp.asarray(vmiss), missing_prob=0.5,
+    )
+    _assert_tree_close(ours, oracle, atol=1e-2)
+
+    # discrimination: dropping the missing rows (wv=0, no override — the
+    # pre-fix semantics) must land on a different restored epoch
+    wv_drop = wv * (1.0 - vmiss)
+    dropped, drop_stop = _mil_oracle(
+        p0, X, mask, y, Xv, mv, yv, wv_drop, key, 1e-2, np.float32(1.0),
+        epochs, 8, False, 0.0, patience,
+    )
+    assert stop_epoch != drop_stop
+    gap = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(oracle), jax.tree_util.tree_leaves(dropped)
+        )
+    )
+    assert gap > 0.05, gap
+
+
+def test_mil_model_val_bag_longer_than_max_len_widens_not_truncates():
+    # a configured max_len shorter than a VAL bag must widen the val pad
+    # (the reference pads per-batch and never truncates). Construction:
+    # val bag 0 is 12 instances — a negative-looking head (first 8) and a
+    # strongly positive tail (last 4) with label 1 — so truncating it to
+    # max_len=8 changes the per-epoch val AUC, the stop epoch (2 vs 5)
+    # and the restored params (gap ~0.06, asserted below).
+    from pd_fusion.models.mil_attention import MilAttentionModel
+    from pd_fusion.utils.seed import fresh_key, set_seed
+
+    rng = np.random.RandomState(4)
+    d = 8
+    y = rng.randint(0, 2, 20).astype(np.float32)
+    bags = [rng.randn(rng.randint(4, 9), d).astype(np.float32) + 0.6 * y[i]
+            for i in range(20)]
+    yv = rng.randint(0, 2, 8).astype(np.float32)
+    vbags = []
+    for i in range(8):
+        if i == 0:
+            b = rng.randn(12, d).astype(np.float32)
+            b[:8] -= 1.0
+            b[8:] += 3.0
+            yv[0] = 1.0
+        else:
+            b = rng.randn(6, d).astype(np.float32) + 0.3 * yv[i]
+        vbags.append(b)
+    cfg = {"epochs": 25, "early_stopping_patience": 2, "hidden_dim": 16,
+           "attn_dim": 8, "dropout": 0.0, "lr": 1e-2, "batch_size": 16,
+           "max_len": 8}
+
+    set_seed(123)
+    model = MilAttentionModel(d, cfg)
+    model.train(bags, y, val_data=(vbags, yv))
+
+    # oracle with the model's exact key schedule and the UNtruncated val
+    set_seed(123)
+    k_init, k_train = fresh_key(), fresh_key()
+    p0 = mil_init(k_init, d, 16, 8, False)
+    X, M = pad_bags(bags, 8)
+    Xv16, Mv16 = pad_bags(vbags, 16)
+    wv = np.ones(8, np.float32)
+    o_wide, s_wide = _mil_oracle(
+        p0, X, M, y, Xv16, Mv16, yv, wv, k_train, 1e-2, np.float32(1.0),
+        25, 16, False, 0.0, 2,
+    )
+    _assert_tree_close(model.net_params, o_wide, atol=5e-3)
+
+    # discrimination: the truncated-val oracle (pre-fix behavior) stops
+    # at a different epoch with clearly different params
+    Xv8, Mv8 = pad_bags(vbags, 8)
+    o_trun, s_trun = _mil_oracle(
+        p0, X, M, y, Xv8, Mv8, yv, wv, k_train, 1e-2, np.float32(1.0),
+        25, 16, False, 0.0, 2,
+    )
+    assert s_wide != s_trun
+    gap = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(o_wide), jax.tree_util.tree_leaves(o_trun)
+        )
+    )
+    assert gap > 0.03, gap
+
+    probs = model.predict_proba(vbags)
+    assert probs.shape == (8,) and np.isfinite(probs).all()
