@@ -958,9 +958,21 @@ static int prep_slices_impl(const char* path, int64_t t0, int64_t t1, int64_t t2
         if (nz[i]) { hi_i = i; break; }
       }
     }
+    // np.linspace(lo, hi, cnt).astype(int), replicated operation-for-
+    // operation (step = delta/div rounded once; y_k = fl(fl(k*step)+lo);
+    // endpoint forced to hi) — the obvious lo + d*(k/(cnt-1)) associates
+    // differently and truncates to a different index at some (lo, extent)
+    // pairs (f64 rounding straddles an integer), breaking bit-parity
+    // with the python mirror (pipeline.select_slices_host:123) and the
+    // reference (openneuro_features.py:144). Separate statements keep
+    // the compiler from FMA-contracting k*step+lo into one rounding.
+    const double step = (cnt == 1)
+        ? 0.0
+        : static_cast<double>(hi_i - lo_i) / static_cast<double>(cnt - 1);
     for (int64_t k = 0; k < cnt; ++k) {
-      double pos = (cnt == 1) ? lo_i
-                              : lo_i + (hi_i - lo_i) * (static_cast<double>(k) / (cnt - 1));
+      double pos = static_cast<double>(k) * step;
+      pos = pos + static_cast<double>(lo_i);
+      if (cnt > 1 && k == cnt - 1) pos = static_cast<double>(hi_i);  // endpoint
       int64_t idx = static_cast<int64_t>(pos);
       if (axis == 0) {
         // out[k][y][z] = norm(vol[x=idx, y, z])

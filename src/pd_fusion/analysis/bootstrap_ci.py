@@ -7,8 +7,8 @@ percentiles per metric.
 
 TPU design: the reference computes 1000 sklearn metric sets in a Python
 loop; here the resampled index matrix [n_boot, N] gathers on device and
-ALL resamples' metrics come from one vmapped fused reduction
-(ops.metrics.binary_metrics_stacked) — typically >100x faster.
+ALL resamples' metrics come from one jitted lax.map over
+ops.metrics.binary_metrics — typically >100x faster.
 """
 import argparse
 from pathlib import Path

@@ -215,7 +215,8 @@ def predict_proba_for_scenario(model, df_test, mask_test, prep_info, scenario):
 
 
 def compute_risk_coverage(y_true, y_prob, masks=None) -> Dict[str, np.ndarray]:
-    out = _risk_coverage_dev(
-        np.asarray(y_true, np.float32), np.asarray(y_prob, np.float32)
+    # one jitted program, one [2, n] readback
+    out = np.asarray(
+        _risk_coverage_dev(np.asarray(y_true, np.float32), np.asarray(y_prob, np.float32))
     )
-    return {"coverage": np.asarray(out["coverage"]), "risk": np.asarray(out["risk"])}
+    return {"coverage": out[0], "risk": out[1]}

@@ -54,7 +54,12 @@ def _resize_axis_ac(x: Array, axis: int, out_len: int) -> Array:
 
 @partial(jax.jit, static_argnames=("target_shape",))
 def resize3d(vol: Array, target_shape: Tuple[int, int, int]) -> Array:
-    """Trilinear volume resize with scipy-zoom grid semantics."""
+    """Trilinear volume resize with scipy-zoom grid semantics. Integer
+    inputs (e.g. raw int16 NIfTI voxels) are promoted to f32 first — the
+    lerp weight t is cast to the input dtype, which would silently
+    degrade an integer input to nearest-neighbor."""
+    if not jnp.issubdtype(vol.dtype, jnp.floating):
+        vol = vol.astype(jnp.float32)
     out = vol
     for axis in range(3):
         out = _resize_axis_ac(out, axis, target_shape[axis])
@@ -82,18 +87,32 @@ def _resize_axis_halfpix(x: Array, axis: int, out_len: int) -> Array:
 @partial(jax.jit, static_argnames=("size",))
 def resize2d_halfpix(imgs: Array, size: Tuple[int, int]) -> Array:
     """imgs [..., H, W] -> [..., size0, size1], torch-bilinear semantics."""
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):
+        imgs = imgs.astype(jnp.float32)
     out = _resize_axis_halfpix(imgs, imgs.ndim - 2, size[0])
     out = _resize_axis_halfpix(out, out.ndim - 1, size[1])
     return out
 
 
-def _masked_percentile(sorted_vals: Array, count: Array, q: float) -> Array:
+def _masked_percentile(sorted_vals: Array, count: Array, q: int) -> Array:
     """Percentile with numpy 'linear' interpolation over the first `count`
-    entries of an ascending-sorted array."""
-    pos = (count - 1.0) * (q / 100.0)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
-    t = pos - lo
+    entries of an ascending-sorted array. ``count`` is an int32 scalar and
+    ``q`` an INTEGER percentile. The fractional rank (count-1)*q/100 is
+    computed with exact integer arithmetic, split to stay inside int32
+    (count can be ~2^24 voxels and beyond, where the old f32 computation
+    had ulp 0.5+ and picked off-by-one indices vs np.percentile). The
+    integer floor provably equals numpy's float64 virtual index for every
+    q used here: float64(q/100) rounds UP for q in {1,10,50,90,99}, so
+    exact-integer ranks stay exact, and non-integer ranks sit >= 1/100
+    away from an integer — far beyond f64 rounding error."""
+    k = count - 1
+    a = k // 100
+    r = k - a * 100
+    rq = r * q
+    lo = a * q + rq // 100
+    rem = rq - (rq // 100) * 100
+    t = rem.astype(sorted_vals.dtype) / 100.0
+    hi = jnp.where(rem > 0, lo + 1, lo)
     return sorted_vals[lo] * (1.0 - t) + sorted_vals[hi] * t
 
 
@@ -107,8 +126,9 @@ def percentile_normalize(vol: Array) -> Array:
     count = jnp.sum(mask)
     big = jnp.finfo(flat.dtype).max
     sorted_masked = jnp.sort(jnp.where(mask, flat, big))
-    lo_m = _masked_percentile(sorted_masked, jnp.maximum(count, 1).astype(flat.dtype), 1.0)
-    hi_m = _masked_percentile(sorted_masked, jnp.maximum(count, 1).astype(flat.dtype), 99.0)
+    cnt_i = jnp.maximum(count, 1).astype(jnp.int32)
+    lo_m = _masked_percentile(sorted_masked, cnt_i, 1)
+    hi_m = _masked_percentile(sorted_masked, cnt_i, 99)
     lo = jnp.where(count > 0, lo_m, jnp.min(flat))
     hi = jnp.where(count > 0, hi_m, jnp.max(flat))
     out = jnp.clip(vol, lo, hi)
@@ -117,7 +137,23 @@ def percentile_normalize(vol: Array) -> Array:
 
 @partial(jax.jit, static_argnames=("axis", "slice_count"))
 def select_slice_indices(vol: Array, axis: int, slice_count: int) -> Array:
-    """Nonzero-extent linspace indices along `axis` (static count)."""
+    """Nonzero-extent linspace indices along `axis` (static count).
+
+    Computed as ``lo + floor(k*(hi-lo) / (n-1))`` with EXACT int32
+    arithmetic. The previous f32 ``lo + (hi-lo)*linspace(0,1,n)`` lost
+    the truncation at many realistic (extent, count) pairs (e.g. extent
+    92 at count 24: 92*(6/23 in f32) = 23.999998 -> 23 instead of 24).
+    Documented deviation: the reference truncates a float64
+    ``np.linspace(lo, hi, n)`` (openneuro_features.py:144) = fl64(k *
+    fl64(d/(n-1))) + lo, whose rounding can land just below an exact
+    integer; a brute-force scan over lo<229, extent<256 found the
+    integer formula equal to np.linspace for counts 2-48 and differing
+    at 52 of 58k (lo, extent) pairs for count 64 (one index lower). The
+    host-prep and native paths replicate numpy's float64 computation
+    operation-for-operation; this f32-device path (PD_FUSION_DEVICE_
+    PREP=1, non-default) uses the exact rational floor instead — f64 is
+    unavailable on the TPU.
+    """
     other = tuple(i for i in range(3) if i != axis)
     nonzero = jnp.any(vol > 0, axis=other)
     n = vol.shape[axis]
@@ -125,8 +161,11 @@ def select_slice_indices(vol: Array, axis: int, slice_count: int) -> Array:
     any_nz = jnp.any(nonzero)
     lo = jnp.where(any_nz, jnp.min(jnp.where(nonzero, idx, n)), 0)
     hi = jnp.where(any_nz, jnp.max(jnp.where(nonzero, idx, -1)), n - 1)
-    pos = lo + (hi - lo) * jnp.linspace(0.0, 1.0, slice_count)
-    return pos.astype(jnp.int32)
+    if slice_count == 1:
+        return lo.astype(jnp.int32)[None]
+    k = jnp.arange(slice_count, dtype=jnp.int32)
+    d = (hi - lo).astype(jnp.int32)
+    return (lo.astype(jnp.int32) + (k * d) // jnp.int32(slice_count - 1)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("axis", "slice_count"))

@@ -19,7 +19,7 @@ Design notes (why this is not a port):
   over tie groups; average precision evaluates precision at tie-group
   boundaries, reproducing sklearn's step-wise definition.
 """
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
@@ -32,6 +32,23 @@ def _ones_like_weights(p: Array, w: Optional[Array]) -> Array:
     if w is None:
         return jnp.ones_like(p)
     return w.astype(p.dtype)
+
+
+@lru_cache(maxsize=None)
+def _lower_bin_bounds_f32(n_bins: int):
+    """The n_bins LOWER bin boundaries of the reference's f64
+    np.linspace(0, 1, n_bins+1), each rounded DOWN to the nearest f32.
+    For an f32 probability p and f64 boundary b, (p > b) is then exactly
+    (p > bound_f32) — no f32 value lies strictly between bound_f32 and b."""
+    import numpy as np
+
+    b64 = np.linspace(0.0, 1.0, n_bins + 1)[:-1]
+    b32 = b64.astype(np.float32)
+    too_high = b32.astype(np.float64) > b64
+    b32 = np.where(too_high, np.nextafter(b32, np.float32(-np.inf)), b32)
+    # numpy constant: lifted into the jit trace as a literal (returning a
+    # committed jax array here could pin the wrong device across backends)
+    return b32.astype(np.float32)
 
 
 def _tie_group_bounds(s_sorted: Array):
@@ -89,7 +106,7 @@ def average_precision(y_true: Array, y_prob: Array, weights: Optional[Array] = N
     tps = jnp.cumsum(yw)
     fps = jnp.cumsum(nw)
     denom = tps[group_end] + fps[group_end]
-    precision_at_end = jnp.where(denom > 0, tps[group_end] / jnp.maximum(denom, 1e-38), 0.0)
+    precision_at_end = jnp.where(denom > 0, tps[group_end] / jnp.where(denom > 0, denom, 1.0), 0.0)
     w_pos = jnp.sum(yw)
     return jnp.sum(yw * precision_at_end) / w_pos
 
@@ -110,9 +127,20 @@ def balanced_accuracy(
     fn = jnp.sum(w * y * (1.0 - pred))
     tn = jnp.sum(w * (1.0 - y) * (1.0 - pred))
     fp = jnp.sum(w * (1.0 - y) * pred)
-    tpr = tp / jnp.maximum(tp + fn, 1e-38)
-    tnr = tn / jnp.maximum(tn + fp, 1e-38)
-    return 0.5 * (tpr + tnr)
+    # sklearn balanced_accuracy_score averages recall over the classes
+    # PRESENT in y_true: a single-class fold scores just that class's
+    # recall (verified: all-neg/all-correct -> 1.0, not nan). NOTE: an
+    # epsilon guard like maximum(x, 1e-38) does NOT work here — 1e-38 is
+    # an f32 subnormal that XLA flushes to zero, so the guarded division
+    # still produced 0/0 = nan on degenerate folds.
+    has_pos = (tp + fn) > 0
+    has_neg = (tn + fp) > 0
+    tpr = jnp.where(has_pos, tp / jnp.where(has_pos, tp + fn, 1.0), 0.0)
+    tnr = jnp.where(has_neg, tn / jnp.where(has_neg, tn + fp, 1.0), 0.0)
+    n_present = has_pos.astype(y_prob.dtype) + has_neg.astype(y_prob.dtype)
+    return jnp.where(
+        n_present > 0, (tpr + tnr) / jnp.maximum(n_present, 1.0), jnp.nan
+    )
 
 
 def f1_score(
@@ -124,7 +152,10 @@ def f1_score(
     tp = jnp.sum(w * y * pred)
     fn = jnp.sum(w * y * (1.0 - pred))
     fp = jnp.sum(w * (1.0 - y) * pred)
-    return 2.0 * tp / jnp.maximum(2.0 * tp + fp + fn, 1e-38)
+    # sklearn zero_division semantics: no positives anywhere -> 0.0 (a
+    # subnormal-epsilon guard is flushed to zero by XLA and returned nan)
+    denom = 2.0 * tp + fp + fn
+    return jnp.where(denom > 0, 2.0 * tp / jnp.where(denom > 0, denom, 1.0), 0.0)
 
 
 def expected_calibration_error(
@@ -140,8 +171,21 @@ def expected_calibration_error(
     """
     w = _ones_like_weights(y_prob, weights)
     y = y_true.astype(y_prob.dtype)
-    # bin index i satisfies i/n < p <= (i+1)/n  =>  i = ceil(p*n) - 1
-    idx = jnp.ceil(y_prob * n_bins).astype(jnp.int32) - 1
+    # Bin membership is lower < p <= upper against the reference's
+    # float64 np.linspace(0, 1, n_bins+1) boundaries (which are NOT all
+    # exactly k/n — linspace computes k*step, e.g. boundary 3 is
+    # 0.30000000000000004). ceil(p*n)-1 in f32 mis-bins probabilities
+    # within half an ulp of a boundary (f32(0.1)*10 rounds to exactly
+    # 1.0 although f32(0.1) > 0.1), so instead compare p against each
+    # lower boundary rounded DOWN to f32: for an f32 p and f64 boundary
+    # b, (p > b) <=> (p > round_down_f32(b)) because no f32 lies in
+    # (round_down_f32(b), b].
+    idx = (
+        jnp.sum(
+            y_prob[:, None] > _lower_bin_bounds_f32(n_bins)[None, :], axis=1
+        ).astype(jnp.int32)
+        - 1
+    )
     valid = (y_prob > 0.0) & (y_prob <= 1.0)
     idx = jnp.clip(idx, 0, n_bins - 1)
     wv = jnp.where(valid, w, 0.0)
@@ -153,9 +197,10 @@ def expected_calibration_error(
 
     total_w = jnp.sum(w)  # reference divides by the FULL sample count
     nonzero = bin_w > 0
-    mean_acc = bin_acc / jnp.maximum(bin_w, 1e-38)
-    mean_conf = bin_conf / jnp.maximum(bin_w, 1e-38)
-    per_bin = jnp.where(nonzero, (bin_w / total_w) * jnp.abs(mean_acc - mean_conf), 0.0)
+    safe_w = jnp.where(nonzero, bin_w, 1.0)
+    per_bin = jnp.where(
+        nonzero, (bin_w / total_w) * jnp.abs(bin_acc / safe_w - bin_conf / safe_w), 0.0
+    )
     return jnp.sum(per_bin)
 
 
@@ -208,25 +253,24 @@ def unpack_metrics_and_probs(packed, metric_shape, probs_shape):
     return md, packed[len(METRIC_NAMES) * n_per:].reshape(probs_shape)
 
 
-# vmapped variant over a leading stack axis (folds / scenarios / bootstrap
-# resamples). All inputs must be rectangular; use weights=0 for padding.
-binary_metrics_stacked = jax.jit(
-    jax.vmap(lambda y, p, w: binary_metrics(y, p, w)), static_argnums=()
-)
-
-
-def risk_coverage(y_true: Array, y_prob: Array) -> Dict[str, Array]:
+@jax.jit
+def risk_coverage(y_true: Array, y_prob: Array) -> Array:
     """Risk-coverage curve (reference: evaluation/evaluate.py:140-169).
 
-    Sort by confidence max(p, 1-p) descending; risk at coverage k/n is the
-    error rate among the k most confident predictions.
-    """
+    Sort by confidence max(p, 1-p) descending; risk at coverage k/n is
+    the error rate among the k most confident predictions. Returns ONE
+    packed [2, n] array (row 0 coverage, row 1 risk) so a caller pays a
+    single dispatch + a single readback — the previous unjitted version
+    issued ~10 eager device ops per call through the relay. Tie order
+    matches the reference's ``np.argsort(confidence)[::-1]`` (stable
+    ascending then reversed => ties in REVERSE input order), which
+    changes intermediate risk values inside a confidence tie group."""
     n = y_true.shape[0]
     confidence = jnp.maximum(y_prob, 1.0 - y_prob)
-    order = jnp.argsort(-confidence)
+    order = jnp.argsort(confidence)[::-1]
     preds = (y_prob >= 0.5).astype(jnp.int32)
     correct = (preds == y_true.astype(jnp.int32)).astype(y_prob.dtype)[order]
     ks = jnp.arange(1, n + 1, dtype=y_prob.dtype)
     coverage = ks / n
     accuracy = jnp.cumsum(correct) / ks
-    return {"coverage": coverage, "risk": 1.0 - accuracy}
+    return jnp.stack([coverage, 1.0 - accuracy])

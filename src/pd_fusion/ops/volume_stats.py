@@ -32,19 +32,28 @@ def simple_volume_features(vol, hist_bins: int = 10, grid_size: int = 8, extra_s
     vmax = jnp.max(jnp.where(m, flat, -big))
 
     sorted_masked = jnp.sort(jnp.where(m, flat, big))
-    median = _masked_percentile(sorted_masked, cnt, 50.0)
-    p10 = _masked_percentile(sorted_masked, cnt, 10.0)
-    p90 = _masked_percentile(sorted_masked, cnt, 90.0)
-    lo = _masked_percentile(sorted_masked, cnt, 1.0)
-    hi = _masked_percentile(sorted_masked, cnt, 99.0)
+    cnt_i = jnp.sum(m).astype(jnp.int32)
+    median = _masked_percentile(sorted_masked, cnt_i, 50)
+    p10 = _masked_percentile(sorted_masked, cnt_i, 10)
+    p90 = _masked_percentile(sorted_masked, cnt_i, 90)
+    lo = _masked_percentile(sorted_masked, cnt_i, 1)
+    hi = _masked_percentile(sorted_masked, cnt_i, 99)
 
     # density histogram of clipped values on [lo, hi] (numpy semantics:
-    # right-inclusive last bin, density = count / (N * bin_width))
+    # right-inclusive last bin, density = count / (N * bin_width)).
+    # np.histogram expands a DEGENERATE range (lo == hi, e.g. a constant
+    # or mask-like volume) to (lo-0.5, hi+0.5) — the old subnormal
+    # 1e-38 width guard was flushed to zero by XLA and produced
+    # inf/nan features there. finfo.tiny (the smallest NORMAL f32) keeps
+    # the near-degenerate hi-lo-underflows-to-subnormal edge finite.
+    degen = hi <= lo
+    lo_e = jnp.where(degen, lo - 0.5, lo)
+    hi_e = jnp.where(degen, hi + 0.5, hi)
     clipped = jnp.clip(flat, lo, hi)
-    width = (hi - lo) / hist_bins
-    idx = jnp.clip(((clipped - lo) / jnp.maximum(width, 1e-38)).astype(jnp.int32), 0, hist_bins - 1)
+    width = jnp.maximum((hi_e - lo_e) / hist_bins, jnp.finfo(flat.dtype).tiny)
+    idx = jnp.clip(((clipped - lo_e) / width).astype(jnp.int32), 0, hist_bins - 1)
     hist = jnp.zeros(hist_bins, flat.dtype).at[idx].add(mw)
-    hist = hist / (cnt * jnp.maximum(width, 1e-38))
+    hist = hist / (cnt * width)
 
     grid = resize3d(vol, (grid_size, grid_size, grid_size)).reshape(-1)
 
@@ -53,8 +62,11 @@ def simple_volume_features(vol, hist_bins: int = 10, grid_size: int = 8, extra_s
     if extra_stats:
         m3 = jnp.sum((flat - mean) ** 3 * mw) / cnt
         m4 = jnp.sum((flat - mean) ** 4 * mw) / cnt
-        skew = jnp.where(std > 0, m3 / jnp.maximum(std**3, 1e-38), 0.0)
-        kurt = jnp.where(std > 0, m4 / jnp.maximum(std**4, 1e-38) - 3.0, 0.0)
+        ok = std > 0
+        safe3 = jnp.where(ok, std**3, 1.0)
+        safe4 = jnp.where(ok, std**4, 1.0)
+        skew = jnp.where(ok, m3 / safe3, 0.0)
+        kurt = jnp.where(ok, m4 / safe4 - 3.0, 0.0)
         h = hist + 1e-12
         ent = -jnp.sum(h * jnp.log(h))
         parts.append(jnp.stack([skew, kurt, ent]))

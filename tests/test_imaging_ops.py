@@ -141,3 +141,68 @@ def test_bf16_embed_close_to_f32():
     for a, b in zip(e32, e16):
         cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
         assert cos > 0.99
+
+
+def test_select_slice_indices_exact_at_former_f32_failures():
+    """The f32 lo+(hi-lo)*linspace formula truncated one index low at
+    extents where k*(d/(n-1)) rounds just below an integer in f32 (e.g.
+    d=92, count=24: 92*(6/23) = 23.999998f -> 23). The integer-exact
+    formula must return floor(k*d/(n-1)) for every k."""
+    from pd_fusion.ops.image import select_slice_indices
+
+    count = 24
+    for lo, d in [(2, 23), (0, 46), (10, 69), (3, 92), (0, 95)]:
+        n = lo + d + 5
+        vol = np.zeros((n, 4, 4), np.float32)
+        vol[lo : lo + d + 1] = 1.0
+        got = np.asarray(select_slice_indices(vol, 0, count))
+        k = np.arange(count)
+        want = lo + (k * d) // (count - 1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_masked_percentile_exact_at_large_counts():
+    """The fractional rank used to be computed in f32, whose ulp exceeds
+    0.25 above ~8.4M entries — the floor index then differed from
+    np.percentile's f64 virtual index. The integer-arithmetic rank must
+    agree with np.percentile at any count (checked in f32)."""
+    import jax.numpy as jnp
+
+    from pd_fusion.ops.image import _masked_percentile
+
+    # counts straddling f32-exactness limits, incl. count-1 % 100 == 0
+    for count in (8_400_001, 8_400_017, 9_000_001, 2**23 + 3):
+        vals = np.arange(count, dtype=np.float32)  # identity: value == rank
+        s = jnp.asarray(vals)
+        for q in (1, 10, 50, 90, 99):
+            got = float(_masked_percentile(s, jnp.int32(count), q))
+            want = np.float32(np.percentile(vals.astype(np.float64), q))
+            assert got == pytest.approx(float(want), rel=2e-7), (count, q)
+
+
+def test_resize3d_integer_input_promoted_not_nearest_neighbor():
+    from pd_fusion.ops.image import resize3d
+
+    rng = np.random.RandomState(0)
+    vol16 = (rng.rand(9, 9, 9) * 1000).astype(np.int16)
+    got = np.asarray(resize3d(vol16, (17, 17, 17)))
+    want = np.asarray(resize3d(vol16.astype(np.float32), (17, 17, 17)))
+    np.testing.assert_array_equal(got, want)
+    # discrimination: true interpolation, not nearest-neighbor
+    assert not np.all(np.isin(got, vol16.astype(np.float32)))
+
+
+def test_volume_features_constant_volume_matches_numpy_histogram():
+    """np.histogram expands a degenerate (lo == hi) range to
+    (lo-0.5, hi+0.5); the old subnormal width guard was flushed to zero
+    by XLA and emitted inf/nan density features."""
+    from pd_fusion.ops.volume_stats import simple_volume_features
+
+    vol = np.full((6, 6, 6), 2.5, np.float32)
+    feats = np.asarray(simple_volume_features(vol, hist_bins=10, grid_size=2))
+    assert np.isfinite(feats).all()
+    hist = feats[7:17]
+    want, _ = np.histogram(
+        np.full(216, 2.5), bins=10, range=(2.5, 2.5), density=True
+    )
+    np.testing.assert_allclose(hist, want, atol=1e-6)

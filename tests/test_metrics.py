@@ -93,14 +93,30 @@ def test_risk_coverage_matches_reference_semantics():
     rng = np.random.RandomState(0)
     y = rng.randint(0, 2, 100)
     p = rng.rand(100)
-    out = risk_coverage(np.float32(y), np.float32(p))
+    out = np.asarray(risk_coverage(np.float32(y), np.float32(p)))
     # oracle: direct numpy transcription (reference evaluate.py:140-169)
     conf = np.maximum(p, 1 - p)
     idx = np.argsort(conf)[::-1]
     correct = ((p >= 0.5).astype(int) == y).astype(float)[idx]
     acc = np.cumsum(correct) / np.arange(1, 101)
-    np.testing.assert_allclose(np.asarray(out["risk"]), 1 - acc, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out["coverage"]), np.arange(1, 101) / 100, atol=1e-6)
+    np.testing.assert_allclose(out[1], 1 - acc, atol=1e-5)
+    np.testing.assert_allclose(out[0], np.arange(1, 101) / 100, atol=1e-6)
+
+
+def test_risk_coverage_tie_order_matches_reference():
+    # np.argsort(conf)[::-1] puts confidence TIES in reverse input order;
+    # intermediate risk values inside a tie group depend on that order,
+    # so the device sort must reproduce it exactly
+    from pd_fusion.ops.metrics import risk_coverage
+
+    y = np.array([1, 0, 1, 0, 1, 0], np.float32)
+    p = np.array([0.8, 0.2, 0.8, 0.8, 0.2, 0.6], np.float32)  # conf ties
+    out = np.asarray(risk_coverage(y, p))
+    conf = np.maximum(p, 1 - p)
+    idx = np.argsort(conf)[::-1]
+    correct = ((p >= 0.5).astype(int) == y.astype(int)).astype(float)[idx]
+    acc = np.cumsum(correct) / np.arange(1, len(y) + 1)
+    np.testing.assert_allclose(out[1], 1 - acc, atol=1e-6)
 
 
 def test_pack_unpack_metrics_and_probs_roundtrip():
@@ -119,3 +135,49 @@ def test_pack_unpack_metrics_and_probs_roundtrip():
     for k in dm.METRIC_NAMES:
         np.testing.assert_array_equal(np.asarray(md[k]), md2[k])
     np.testing.assert_array_equal(np.asarray(probs), probs2)
+
+
+def test_degenerate_folds_match_sklearn_not_nan():
+    """XLA flushes f32 subnormals: the old maximum(x, 1e-38) guards were
+    max(x, 0) and returned nan where sklearn returns finite values."""
+    from pd_fusion.ops import metrics as dm
+
+    cases = [
+        # (y_true, y_prob) — all-negative fold, correct predictions
+        (np.zeros(10), np.full(10, 0.2)),
+        # all-negative fold, wrong predictions
+        (np.zeros(10), np.full(10, 0.9)),
+        # all-positive fold, wrong predictions
+        (np.ones(10), np.full(10, 0.2)),
+        # mixed fold, everything predicted negative
+        (np.array([0.0, 0, 1, 1]), np.full(4, 0.1)),
+    ]
+    for y, p in cases:
+        yp = (p >= 0.5).astype(int)
+        got_f1 = float(dm.f1_score(np.float32(y), np.float32(p)))
+        got_ba = float(dm.balanced_accuracy(np.float32(y), np.float32(p)))
+        assert got_f1 == pytest.approx(f1_score(y.astype(int), yp, zero_division=0), abs=1e-6)
+        assert got_ba == pytest.approx(balanced_accuracy_score(y.astype(int), yp), abs=1e-6)
+
+
+def test_ece_bin_boundaries_match_reference_float64():
+    """Probabilities exactly on (or within an f32 ulp of) a bin boundary
+    must bin by the reference's float64 np.linspace boundaries: e.g.
+    f32(0.1) = 0.10000000149 > 0.1 belongs to bin 1, but f32(0.1)*10
+    rounds to exactly 1.0 so the old ceil(p*10)-1 put it in bin 0. The
+    linspace boundaries are not all k/10 either (boundary 3 is
+    0.30000000000000004), which the comparison constants encode."""
+    from pd_fusion.ops import metrics as dm
+
+    # every f32 value near each boundary k/10, plus interior values
+    ps = []
+    for k in range(1, 10):
+        b = np.float32(k / 10.0)
+        ps += [np.nextafter(b, np.float32(0)), b, np.nextafter(b, np.float32(1))]
+    ps += [0.05, 0.5, 0.999, 1.0, 0.01]
+    p = np.array(ps, np.float32)
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 2, len(p)).astype(np.float32)
+    got = float(dm.expected_calibration_error(y, p))
+    want = compute_ece(y.astype(float), p.astype(np.float64))
+    assert got == pytest.approx(want, abs=1e-6)

@@ -238,3 +238,41 @@ def test_slices_loader_out_dtype_fallback_paths(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         python_f16.astype(np.float32), native_f16.astype(np.float32), atol=1e-3
     )
+
+
+def test_native_slice_indices_match_numpy_linspace_quirks(tmp_path):
+    """np.linspace(lo, hi, n) computes fl64(fl64(k*step) + lo), which
+    truncates one index LOWER than the algebraically equal
+    lo + d*(k/(n-1)) at some (lo, extent) pairs (the rounding lands just
+    below an integer). The native gather must reproduce the python
+    mirror's np.linspace indices operation-for-operation; the old
+    lo + d*(k/q) association picked a different slice at these extents."""
+    from pd_fusion.imaging.pipeline import (
+        load_volume,
+        normalize_volume_host,
+        select_slices_host,
+    )
+
+    rng = np.random.RandomState(11)
+    count = 24
+    # (lo, extent) pairs where trunc(np.linspace) != lo + d*(k/q) trunc
+    for lo, d, n_axis in ((0, 46, 47), (1, 23, 30), (0, 92, 96)):
+        vol = np.zeros((n_axis, 8, 8), np.float32)
+        band = 1.0 + rng.rand(d + 1, 8, 8).astype(np.float32)
+        band[0, 0, 0] = band.max() + 1.0   # keep both band endpoints
+        band[-1, 0, 0] = band.max() + 1.0  # above the low clip
+        vol[lo : lo + d + 1] = band
+        p = tmp_path / f"quirk_{lo}_{d}.nii.gz"
+        write_nifti(p, vol)
+        shape = vol.shape  # identity resize: extent survives exactly
+        nat = native.prep_slices_native(p, shape, [0], [count])
+        assert nat is not None
+        normed = normalize_volume_host(load_volume(p, shape))
+        mirror = select_slices_host(normed, 0, count)
+        np.testing.assert_allclose(
+            nat, mirror, rtol=2e-5, atol=2e-6, err_msg=f"lo={lo} d={d}"
+        )
+        # the pair actually exercises a quirk: the two formulas disagree
+        k = np.arange(count)
+        ls = np.trunc(np.linspace(float(lo), float(lo + d), count)).astype(int)
+        assert not np.array_equal(ls, (lo + d * (k / (count - 1))).astype(int))
