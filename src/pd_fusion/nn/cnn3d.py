@@ -126,7 +126,10 @@ def train_cnn3d(params, volumes, key, lr: float, input_shape, epochs: int, batch
     def loss_fn(p, xb, wb):
         recon, _ = cnn3d_apply(p, xb, input_shape)
         per = jnp.mean((recon - xb) ** 2, axis=(1, 2, 3, 4))
-        return jnp.sum(per * wb) / jnp.maximum(jnp.sum(wb), 1e-38)
+        # safe denominator (1e-38 is subnormal -> flushed to 0 by XLA;
+        # an all-padding batch then made 0/0 nan grads)
+        t = jnp.sum(wb)
+        return jnp.sum(per * wb) / jnp.where(t > 0, t, 1.0)
 
     def epoch_step(carry, ek):
         p, s = carry

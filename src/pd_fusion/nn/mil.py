@@ -85,7 +85,10 @@ def _mil_loss(params, x, mask, y, w, pos_weight, gated, dropout, key):
     logits = mil_apply(params, x, mask, gated=gated, dropout_rate=dropout, dropout_key=key)
     bce = jax.nn.softplus(logits) - y * logits
     clsw = jnp.where(y >= 0.5, pos_weight, 1.0)
-    return jnp.sum(bce * clsw * w) / jnp.maximum(jnp.sum(w), 1e-38)
+    # safe denominator: all-padding batches (total weight 0) must give
+    # loss 0 with zero grads, not 0/0 (1e-38 is subnormal -> flushed)
+    t = jnp.sum(w)
+    return jnp.sum(bce * clsw * w) / jnp.where(t > 0, t, 1.0)
 
 
 def train_mil_impl(

@@ -81,4 +81,10 @@ def bce_with_logits(logits: jax.Array, y: jax.Array, weights: Optional[jax.Array
     l = jax.nn.softplus(logits) - y * logits
     if weights is None:
         return jnp.mean(l)
-    return jnp.sum(l * weights) / jnp.maximum(jnp.sum(weights), 1e-38)
+    # An all-padding batch (total weight 0) is reachable when ragged
+    # group-kfold folds pad past batch_size; maximum(t, 1e-38) is a
+    # flushed-to-zero subnormal under XLA, so it still yielded 0/0 = nan
+    # grads that poisoned the fold. The numerator is already 0 there, so
+    # a safe denominator gives loss 0 with exactly-zero gradients.
+    t = jnp.sum(weights)
+    return jnp.sum(l * weights) / jnp.where(t > 0, t, 1.0)

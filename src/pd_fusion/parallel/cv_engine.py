@@ -120,7 +120,10 @@ def _moe_vmapped(params_stack, x_stack, mask, y, w, lr, epochs, weight_decay):
         def loss(p):
             pr = jnp.clip(moe_apply(p, xs, mk), 1e-7, 1 - 1e-7)
             l = -(yy * jnp.log(pr) + (1 - yy) * jnp.log(1 - pr))
-            return jnp.sum(l * ww) / jnp.maximum(jnp.sum(ww), 1e-38)
+            # safe denominator (matches nn/mlp.bce_with_logits: subnormal
+            # 1e-38 guards flush to 0 under XLA)
+            t = jnp.sum(ww)
+            return jnp.sum(l * ww) / jnp.where(t > 0, t, 1.0)
 
         def step(carry, _):
             p, s = carry

@@ -212,3 +212,47 @@ def test_fusion_moddrop_per_sample_variant():
     m.train(X, y)
     full = {k: np.ones(n, dtype=int) for k in ("clinical", "datspect", "mri")}
     assert _auc(y, m.predict_proba(X, full)) > 0.85
+
+
+def test_all_padding_batch_keeps_params_finite():
+    """Ragged group-kfold folds can pad a training set by more than one
+    batch_size, so a per-epoch permutation can form a batch whose every
+    sample has weight 0. The old maximum(sum(w), 1e-38) loss guard was a
+    flushed-to-zero subnormal under XLA: that batch produced 0/0 = nan
+    gradients and poisoned the fold's params forever. The safe
+    denominator must give loss 0 with exactly-zero grads instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.mlp import bce_with_logits, mlp_apply, mlp_init
+    from pd_fusion.nn.trainer import train_minibatch_moddrop
+
+    # unit: all-zero weights -> loss 0, zero (not nan) grads
+    params = mlp_init(jax.random.PRNGKey(0), [3, 4, 1])
+
+    def loss(p):
+        logits = mlp_apply(p, jnp.ones((5, 3)))
+        return bce_with_logits(logits, jnp.ones(5), jnp.zeros(5))
+
+    assert float(loss(params)) == 0.0
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.asarray(leaf) == 0.0)
+
+    # integration: 8 real samples padded to 64 rows, batch_size 8 ->
+    # most batches are all-padding in every epoch permutation
+    rng = np.random.RandomState(0)
+    n_real, n_pad = 8, 56
+    Xr = rng.randn(n_real, 3).astype(np.float32)
+    yr = rng.randint(0, 2, n_real).astype(np.float32)
+    X = np.concatenate([Xr, np.zeros((n_pad, 3), np.float32)])
+    y = np.concatenate([yr, np.zeros(n_pad, np.float32)])
+    w = np.concatenate([np.ones(n_real, np.float32), np.zeros(n_pad, np.float32)])
+    assign = np.ones((1, 3), np.float32)  # one modality over all features
+    out = train_minibatch_moddrop(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(w),
+        jnp.asarray(assign), jax.random.PRNGKey(1),
+        0.01, 5, 8, dropout=0.0, moddrop_rate=0.0,
+    )
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
