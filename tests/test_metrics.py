@@ -181,3 +181,71 @@ def test_ece_bin_boundaries_match_reference_float64():
     got = float(dm.expected_calibration_error(y, p))
     want = compute_ece(y.astype(float), p.astype(np.float64))
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_fuzz_integer_weights_equal_repetition_and_sklearn():
+    """Property fuzz over the whole metric surface: for integer sample
+    weights, every weighted metric must equal (a) the unweighted metric
+    on the correspondingly repeated dataset and (b) sklearn with
+    sample_weight. Random sizes, tie-heavy quantized probabilities, and
+    extreme class imbalance — the net that would have caught the
+    subnormal-guard and ECE-binning bugs early."""
+    import jax.numpy as jnp
+    from sklearn.metrics import (
+        average_precision_score,
+        balanced_accuracy_score,
+        brier_score_loss,
+        f1_score,
+        roc_auc_score,
+    )
+
+    from pd_fusion.ops import metrics as dm
+
+    rng = np.random.RandomState(42)
+    for case in range(12):
+        n = int(rng.randint(3, 120))
+        y = rng.randint(0, 2, n).astype(np.float32)
+        quant = rng.choice([0, 2, 4, 10])  # 0 = continuous
+        p = rng.rand(n).astype(np.float32)
+        if quant:
+            p = (np.round(p * quant) / quant).astype(np.float32)
+        w = rng.randint(0, 4, n).astype(np.float32)
+        if w.sum() == 0:
+            w[0] = 1.0
+        rep_idx = np.repeat(np.arange(n), w.astype(int))
+        yr, pr = y[rep_idx], p[rep_idx]
+        both = np.unique(yr).size == 2
+
+        got_w = {
+            k: float(v)
+            for k, v in dm.binary_metrics(jnp.array(y), jnp.array(p), jnp.array(w)).items()
+        }
+        got_rep = {
+            k: float(v)
+            for k, v in dm.binary_metrics(jnp.array(yr), jnp.array(pr), None).items()
+        }
+        for k in dm.METRIC_NAMES:
+            a, b = got_w[k], got_rep[k]
+            assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, abs=1e-5), (
+                case, k, a, b,
+            )
+
+        predr = (pr >= 0.5).astype(int)
+        yi = yr.astype(int)
+        if both:
+            assert got_rep["roc_auc"] == pytest.approx(roc_auc_score(yi, pr), abs=1e-5), case
+            assert got_rep["pr_auc"] == pytest.approx(
+                average_precision_score(yi, pr), abs=1e-5
+            ), case
+        assert got_rep["f1"] == pytest.approx(
+            f1_score(yi, predr, zero_division=0), abs=1e-5
+        ), case
+        assert got_rep["balanced_accuracy"] == pytest.approx(
+            balanced_accuracy_score(yi, predr), abs=1e-5
+        ), case
+        assert got_rep["brier_score"] == pytest.approx(
+            brier_score_loss(yi, pr.astype(np.float64)), abs=1e-5
+        ), case
+        assert got_rep["ece"] == pytest.approx(
+            _reference_ece(yi, pr.astype(np.float64)), abs=1e-5
+        ), case
