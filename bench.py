@@ -80,6 +80,7 @@ EMBED_SLICES = 24
 EMBED_INPUT = 224
 TPU_V5E_BF16_PEAK = 197e12  # FLOP/s, MXU bf16
 EMBED_DATA_DIR = Path("/tmp/pd_fusion_bench_nifti")
+_CHILD_START = time.time()  # for deadline budgeting in the outage fallback
 
 
 def _scaled_data_config(n_subjects: int) -> str:
@@ -302,6 +303,7 @@ def wait_for_device(max_wait_s: float = 1800.0, probe_timeout_s: float = 75.0) -
 
     if os.environ.get("PD_FUSION_BENCH_NO_DEVICE_WAIT"):
         return True
+    max_wait_s = float(os.environ.get("PD_FUSION_BENCH_DEVICE_WAIT_S", max_wait_s))
     ctx = mp.get_context("spawn")  # never fork a half-initialized backend
     deadline = time.time() + max_wait_s
     attempt = 0
@@ -375,6 +377,63 @@ def _emit_error_line(msg: str, partial_path: str):
     print(json.dumps(out), flush=True)
 
 
+def _cpu_cv_child():
+    """Entry for the scrubbed-env CPU-fallback subprocess: run only the CV
+    leg (warmup + min-of-3) on the active backend and print one JSON line."""
+    from pd_fusion.paths import RUNS_DIR
+    from pd_fusion.utils.logging import setup_logging
+
+    setup_logging("ERROR")
+    run_cv_once("cpu_warmup")
+    walls = []
+    agg = None
+    for tag in ("cpu_m1", "cpu_m2", "cpu_m3"):
+        wall, agg = run_cv_once(tag)
+        walls.append(wall)
+    for tag in ("cpu_warmup", "cpu_m1", "cpu_m2", "cpu_m3"):
+        shutil.rmtree(RUNS_DIR / f"bench_{tag}", ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cv_wall_s_cpu": round(min(walls), 3),
+                "roc_auc_full_observation": round(
+                    agg["full_observation"]["roc_auc"]["mean"], 4
+                ),
+            }
+        )
+    )
+
+
+def _cpu_fallback_cv(timeout_s: float = 900.0):
+    """Total relay outage: the CV leg is still measurable apples-to-apples on
+    the host CPU — the reference-oracle constants were captured on this same
+    host CPU (scripts/measure_reference_oracle.py), so host-vs-host is a fair
+    same-hardware comparison. Runs in a scrubbed-env subprocess because the
+    axon plugin hijacks in-process JAX at interpreter startup. Returns the
+    child's JSON dict or None."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = str(repo)  # replace: drops the axon sitecustomize dir
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PD_FUSION_BENCH_CPU_CV"] = "1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            cwd=repo,
+            env=env,
+            text=True,
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:  # noqa: BLE001 — fallback is best-effort by design
+        return None
+
+
 def _watchdog() -> int:
     import signal
     import subprocess
@@ -424,21 +483,32 @@ def main():
 
     setup_logging("ERROR")
     if not wait_for_device():
-        # The relay is fully down (observed outages >1 h where EVERY device
+        # The relay is fully down (observed outages >16 h where EVERY device
         # call blocks forever). Proceeding would hang at first device contact
         # with nothing recorded — emit an honest failure line instead so the
-        # driver's capture records the outage rather than an empty file.
-        print(
-            json.dumps(
-                {
-                    "metric": "embed_plus_cv5_subjects_per_sec",
-                    "value": 0.0,
-                    "unit": "subjects/sec",
-                    "vs_baseline": 0.0,
-                    "error": "tpu relay unreachable for 30 min; bench not run",
-                }
-            )
-        )
+        # driver's capture records the outage rather than an empty file. The
+        # CV leg is still measurable on the host CPU against the same-host
+        # reference oracle, so record that much (clearly labeled) too.
+        out = {
+            "metric": "embed_plus_cv5_subjects_per_sec",
+            "value": 0.0,
+            "unit": "subjects/sec",
+            "vs_baseline": 0.0,
+            "error": (
+                "tpu relay unreachable for 30 min; TPU legs not run "
+                "(cv_*_cpu keys, if present, are a same-host CPU-backend "
+                "fallback measurement vs the same-host reference oracle)"
+            ),
+        }
+        # stay inside the watchdog parent's deadline: wait_for_device may
+        # have consumed up to 1800 s of it already
+        deadline_s = float(os.environ.get("PD_FUSION_BENCH_DEADLINE_S", "2400"))
+        budget = deadline_s - (time.time() - _CHILD_START) - 90.0
+        fb = _cpu_fallback_cv(timeout_s=max(120.0, budget)) if budget > 120.0 else None
+        if fb and "cv_wall_s_cpu" in fb:
+            fb["cv_speedup_cpu"] = round(REF_CV_WALL_S / fb["cv_wall_s_cpu"], 2)
+            out.update(fb)
+        print(json.dumps(out))
         return
     from pd_fusion.paths import RUNS_DIR
 
@@ -602,7 +672,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("PD_FUSION_BENCH_CHILD") or os.environ.get(
+    if os.environ.get("PD_FUSION_BENCH_CPU_CV"):
+        _cpu_cv_child()
+    elif os.environ.get("PD_FUSION_BENCH_CHILD") or os.environ.get(
         "PD_FUSION_BENCH_NO_WATCHDOG"
     ):
         main()

@@ -71,3 +71,67 @@ def test_emit_error_line_survives_corrupt_partial(tmp_path, capsys):
     bench._emit_error_line("stall", str(p))
     out = json.loads(capsys.readouterr().out.strip())
     assert out["value"] == 0.0 and "error" in out
+
+
+def test_cpu_fallback_scrubs_env_and_parses_last_line(monkeypatch):
+    """The CPU-fallback subprocess must drop the axon hijack (PYTHONPATH
+    replaced, PALLAS_AXON_POOL_IPS gone, JAX_PLATFORMS=cpu) and the parser
+    must take the LAST stdout line (earlier lines may be warnings)."""
+    import subprocess
+
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        captured["env"] = kw["env"]
+
+        class R:
+            stdout = 'warning: noise\n{"cv_wall_s_cpu": 0.31, "roc_auc_full_observation": 0.87}\n'
+
+        return R()
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    got = bench._cpu_fallback_cv(timeout_s=5.0)
+    assert got == {"cv_wall_s_cpu": 0.31, "roc_auc_full_observation": 0.87}
+    env = captured["env"]
+    assert "PALLAS_AXON_POOL_IPS" not in env
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["PD_FUSION_BENCH_CPU_CV"] == "1"
+    assert "/.axon_site" not in env.get("PYTHONPATH", "")
+
+
+def test_cpu_fallback_returns_none_on_failure(monkeypatch):
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._cpu_fallback_cv(timeout_s=5.0) is None
+
+
+def test_main_outage_path_reports_cpu_fallback(monkeypatch, capsys):
+    """Total outage: main() must emit value/vs_baseline 0 with an error,
+    plus the clearly-labeled same-host CPU CV fallback keys."""
+    monkeypatch.setattr(bench, "wait_for_device", lambda: False)
+    monkeypatch.setattr(
+        bench,
+        "_cpu_fallback_cv",
+        lambda timeout_s: {"cv_wall_s_cpu": 0.31, "roc_auc_full_observation": 0.87},
+    )
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
+    assert "error" in out
+    assert out["cv_wall_s_cpu"] == 0.31
+    assert out["cv_speedup_cpu"] == round(bench.REF_CV_WALL_S / 0.31, 2)
+    assert out["roc_auc_full_observation"] == 0.87
+
+
+def test_main_outage_path_survives_failed_fallback(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "wait_for_device", lambda: False)
+    monkeypatch.setattr(bench, "_cpu_fallback_cv", lambda timeout_s: None)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0 and "error" in out
+    assert "cv_wall_s_cpu" not in out
