@@ -1,13 +1,19 @@
 """Unimodal gradient-boosted trees (reference: src/pd_fusion/models/
 unimodal_gbdt.py:6-26 wraps LGBMClassifier).
 
-Tree boosting is not a TPU-shaped workload (SURVEY §2.3 M8): this stays a
-host-side component with the reference's own fallback chain extended —
-lightgbm -> xgboost -> sklearn HistGradientBoostingClassifier (the chain
-the reference uses in scripts/ppmi_train_tabular.py:109-142). In this
-image lightgbm/xgboost are absent, so HistGB is the active backend; its
-params are translated from the lgbm naming.
+Backend chain: the reference's own fallback chain extended — lightgbm ->
+xgboost -> sklearn HistGradientBoostingClassifier (the chain the
+reference uses in scripts/ppmi_train_tabular.py:109-142). In this image
+lightgbm/xgboost are absent, so HistGB is the active default; its params
+are translated from the lgbm naming.
+
+Additionally, ``backend: device`` in the model params (or env
+``PD_FUSION_GBDT_BACKEND=device``) selects the TPU-native histogram
+boosting trainer (pd_fusion.nn.gbdt.DeviceHistGBDT) — the whole ensemble
+trains as one compiled XLA program. AUC parity with HistGB is pinned in
+tests/test_device_gbdt.py.
 """
+import os
 from pd_fusion.models.base import BaseModel
 from pd_fusion.utils.io import load_pickle, save_pickle
 
@@ -40,18 +46,43 @@ def _translate_params_histgb(params):
     return out
 
 
+_DEVICE_PARAM_KEYS = (
+    "n_estimators",
+    "learning_rate",
+    "max_depth",
+    "num_leaves",
+    "reg_lambda",
+    "min_child_samples",
+    "min_child_weight",
+    "random_state",
+)
+
+
 class UnimodalGBDT(BaseModel):
     def __init__(self, mod_name, params=None):
         self.mod_name = mod_name
-        self.params = params or {}
-        self.backend = _BACKEND
-        if _BACKEND == "lightgbm":  # pragma: no cover
+        self.params = dict(params or {})
+        want_device = (
+            self.params.pop("backend", None) == "device"
+            or os.environ.get("PD_FUSION_GBDT_BACKEND") == "device"
+        )
+        if want_device:
+            from pd_fusion.nn.gbdt import DeviceHistGBDT
+
+            self.backend = "device"
+            self.model = DeviceHistGBDT(
+                **{k: v for k, v in self.params.items() if k in _DEVICE_PARAM_KEYS}
+            )
+        elif _BACKEND == "lightgbm":  # pragma: no cover
+            self.backend = _BACKEND
             self.model = lgb.LGBMClassifier(**self.params)
         elif _BACKEND == "xgboost":  # pragma: no cover
+            self.backend = _BACKEND
             self.model = xgb.XGBClassifier(**self.params)
         else:
             from sklearn.ensemble import HistGradientBoostingClassifier
 
+            self.backend = _BACKEND
             self.model = HistGradientBoostingClassifier(**_translate_params_histgb(self.params))
 
     def train(self, X, y, val_data=None):
