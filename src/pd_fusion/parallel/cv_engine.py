@@ -25,6 +25,7 @@ trainer), fusion_moddrop (minibatch+moddrop trainer), moe (stacked-expert
 trainer). GBDT/MIL fall back to the sequential path in run_experiment.
 """
 import logging
+import os
 from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
@@ -248,6 +249,71 @@ def _metrics_from_probs_packed(probs, yv, wv):
 _eval_probs_with_calib = jax.jit(_probs_with_calib)
 
 
+# ---------------------------------------------------------------------------
+# device-GBDT stacked programs (train_gbdt is pure in (bins, y, w), so the
+# fold axis is a plain vmap; see pd_fusion.nn.gbdt)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs"),
+)
+def _cv_program_gbdt(
+    bins_tr, y_tr, w_tr, base, bins_va, y_va, w_va, *, n_rounds, depth, lr, lam, mcw, mcs
+):
+    """Train all folds' tree ensembles + evaluate all folds x scenarios +
+    pack metrics and probs — ONE dispatch, ONE fetch."""
+    from pd_fusion.nn.gbdt import predict_margin, train_gbdt
+
+    def train_one(b, y, w, bs):
+        return train_gbdt(
+            b, y, w, bs, n_rounds=n_rounds, depth=depth, lr=lr, lam=lam,
+            min_child_weight=mcw, min_child_samples=mcs,
+        )
+
+    trees = jax.vmap(train_one)(bins_tr, y_tr, w_tr, base)
+
+    def pred_fold(t, bva, bs):
+        return jax.vmap(lambda b: predict_margin(t, b, bs, depth=depth))(bva)
+
+    probs = jax.nn.sigmoid(jax.vmap(pred_fold)(trees, bins_va, base))  # [K,S,Nv]
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(y_va, probs, w_va)
+    return dev_metrics.pack_metrics_and_probs(md, probs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs"),
+)
+def _cv_program_gbdt_probs(
+    bins_tr, y_tr, w_tr, base, bins_va, bins_cal, *, n_rounds, depth, lr, lam, mcw, mcs
+):
+    """Calibrated variant: return raw eval + calibration-set probs packed
+    into one buffer (host isotonic follows; layout mirrors
+    _cv_program_fullbatch_probs)."""
+    from pd_fusion.nn.gbdt import predict_margin, train_gbdt
+
+    def train_one(b, y, w, bs):
+        return train_gbdt(
+            b, y, w, bs, n_rounds=n_rounds, depth=depth, lr=lr, lam=lam,
+            min_child_weight=mcw, min_child_samples=mcs,
+        )
+
+    trees = jax.vmap(train_one)(bins_tr, y_tr, w_tr, base)
+
+    def pred_fold(t, bva, bc, bs):
+        m_eval = jax.vmap(lambda b: predict_margin(t, b, bs, depth=depth))(bva)
+        m_cal = predict_margin(t, bc, bs, depth=depth)
+        return m_eval, m_cal
+
+    m_eval, m_cal = jax.vmap(pred_fold)(trees, bins_va, bins_cal, base)
+    K = m_eval.shape[0]
+    return jnp.concatenate(
+        [jax.nn.sigmoid(m_eval).reshape(K, -1), jax.nn.sigmoid(m_cal)], axis=1
+    )
+
+
 def _fit_isotonic_per_fold(cal_probs, cal_y, n_cal):
     """K host isotonic fits (tiny: sklearn PAV on the calibration probs,
     same as CalibratedModel.fit)."""
@@ -330,6 +396,8 @@ def supports_parallel_cv(config) -> bool:
         return False
     if config.get("calibrate", False) and config.get("model_type") == "moe":
         return False  # calibrated MoE keeps the sequential per-fold wrap
+    if config.get("model_type") == "unimodal_gbdt":
+        return gbdt_device_backend(config)
     return config.get("model_type") in PARALLEL_CV_FAMILIES
 
 
@@ -381,6 +449,12 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         return _run_parallel_cv_mil(
             config, folds, masks, scenarios, group_col, calib_dfs, do_calibrate,
             nested, fold_masks, fold_keys,
+        )
+
+    if model_type == "unimodal_gbdt":
+        return _run_parallel_cv_gbdt(
+            config, folds, masks, scenarios, group_col, calib_dfs, do_calibrate,
+            fold_masks,
         )
 
     # ---- per-fold host prep (scaler fits; tiny) --------------------------
@@ -765,6 +839,164 @@ def _run_parallel_cv_moe(
 # device pass. Metrics for all K x S cells then come from one packed
 # device reduction. Total: 2 dispatches + 2 fetches for the entire
 # calibrated MIL CV.
+
+
+def gbdt_device_backend(config) -> bool:
+    """True when the unimodal_gbdt model resolves to the TPU-native
+    trainer (params `backend: device` or PD_FUSION_GBDT_BACKEND=device);
+    only then is the fold axis vmappable — the host HistGB/lightgbm
+    backends stay on the sequential per-fold loop."""
+    return (
+        config.get("params", {}).get("backend") == "device"
+        or os.environ.get("PD_FUSION_GBDT_BACKEND") == "device"
+    )
+
+
+def _run_parallel_cv_gbdt(
+    config, folds, masks, scenarios, group_col, calib_dfs, do_calibrate, fold_masks
+):
+    """Stacked device-GBDT CV: per-fold host binning (quantile edges fit
+    on each fold's own scaled train matrix — no leakage, mirroring the
+    sequential DeviceHistGBDT.fit), then ONE program trains all folds'
+    ensembles and evaluates all folds x scenarios. Padding rows carry
+    zero sample-weight, which the trainer provably ignores
+    (tests/test_device_gbdt.py::test_zero_weight_rows_are_invisible).
+    Sequential-path semantics mirrored: scenario inputs are the scaled
+    val matrix with masked modality blocks zeroed THEN re-binned with the
+    fold's edges (evaluate.predict_for_masks), calibration inputs are the
+    raw un-zeroed matrix."""
+    from pd_fusion.nn.gbdt import DeviceHistGBDT, bin_features, fit_bin_edges
+
+    params_cfg = {k: v for k, v in config["params"].items() if k != "backend"}
+    from pd_fusion.models.unimodal_gbdt import _DEVICE_PARAM_KEYS
+
+    proto = DeviceHistGBDT(
+        **{k: v for k, v in params_cfg.items() if k in _DEVICE_PARAM_KEYS}
+    )
+    modality = config.get("modality", "clinical")
+    feat_cols = get_modality_feature_cols(folds[0][0], modality)
+    if not feat_cols:
+        raise ValueError("No feature columns for parallel GBDT CV.")
+    assign = feature_modality_matrix(feat_cols)
+    K, S = len(folds), len(scenarios)
+
+    bins_tr_list, y_tr_list, bases = [], [], []
+    bins_scen_list, yva_list = [], []
+    bins_cal_list, ycal_list = [], []
+    for fi, (train_df, val_df) in enumerate(folds):
+        if fold_masks is not None:
+            train_masks, val_masks = fold_masks[fi]
+        else:
+            train_masks = get_subset_masks(masks, train_df.index)
+            val_masks = get_subset_masks(masks, val_df.index)
+        X_tr, _, scaler = preprocess_features(train_df, feat_cols)
+        X_va_raw, _, _ = preprocess_features(val_df, feat_cols, None, scaler)
+        X_tr = X_tr.astype(np.float32)
+        edges = fit_bin_edges(X_tr)
+        bins_tr_list.append(bin_features(X_tr, edges))
+        y = train_df[TARGET_COL].values.astype(np.float32)
+        y_tr_list.append(y)
+        p = float(np.clip(y.mean(), 1e-7, 1.0 - 1e-7))
+        bases.append(np.log(p / (1.0 - p)))
+        scen_b = []
+        for scenario in scenarios:
+            cur = apply_missingness_scenario(val_df, scenario, val_masks)
+            mm = get_modality_mask_matrix(cur).astype(np.float32)
+            Xs = apply_modality_masks_np(X_va_raw, mm, assign)
+            scen_b.append(bin_features(Xs.astype(np.float32), edges))
+        bins_scen_list.append(np.stack(scen_b))  # [S, Nv, F]
+        yva_list.append(val_df[TARGET_COL].values.astype(np.float32))
+        if do_calibrate:
+            if calib_dfs[fi] is not None:
+                calib_df = calib_dfs[fi]
+                X_cal, _, _ = preprocess_features(calib_df, feat_cols, None, scaler)
+                ycal_list.append(calib_df[TARGET_COL].values.astype(np.float32))
+            else:
+                X_cal = X_va_raw
+                ycal_list.append(yva_list[-1])
+            bins_cal_list.append(bin_features(X_cal.astype(np.float32), edges))
+
+    f_dim = len(feat_cols)
+    n_max = max(len(y) for y in y_tr_list)
+    bins_tr = np.zeros((K, n_max, f_dim), np.int32)
+    y_tr = np.zeros((K, n_max), np.float32)
+    w_tr = np.zeros((K, n_max), np.float32)
+    for i, (b, y) in enumerate(zip(bins_tr_list, y_tr_list)):
+        bins_tr[i, : len(y)] = b
+        y_tr[i, : len(y)] = y
+        w_tr[i, : len(y)] = 1.0
+
+    nv_max = max(len(y) for y in yva_list)
+    bins_va = np.zeros((K, S, nv_max, f_dim), np.int32)
+    for i, a in enumerate(bins_scen_list):
+        bins_va[i, :, : a.shape[1]] = a
+    yv_stack, wv = _pad_stack([y[:, None] for y in yva_list])
+    yv_rep = np.repeat(yv_stack[..., 0][:, None, :], S, axis=1)
+    wv_rep = np.repeat(wv[:, None, :], S, axis=1)
+
+    hp = dict(
+        n_rounds=proto.n_estimators,
+        depth=proto.max_depth,
+        lr=proto.learning_rate,
+        lam=proto.reg_lambda,
+        mcw=proto.min_child_weight,
+        mcs=proto.min_child_samples,
+    )
+    base_arr = jnp.asarray(np.array(bases, np.float32))
+
+    if do_calibrate:
+        nc_max = max(len(y) for y in ycal_list)
+        bins_cal = np.zeros((K, nc_max, f_dim), np.int32)
+        for i, b in enumerate(bins_cal_list):
+            bins_cal[i, : b.shape[0]] = b
+        buf = np.asarray(
+            _cv_program_gbdt_probs(
+                jnp.asarray(bins_tr), jnp.asarray(y_tr), jnp.asarray(w_tr), base_arr,
+                jnp.asarray(bins_va), jnp.asarray(bins_cal), **hp,
+            )
+        )
+        raw_probs = buf[:, : S * nv_max].reshape(K, S, nv_max)
+        cal_probs = buf[:, S * nv_max:]
+        n_cal = [len(y) for y in ycal_list]
+        calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
+        calibrated = np.empty_like(raw_probs)
+        for i, iso in enumerate(calibrators):
+            calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, nv_max)
+        packed = np.asarray(
+            _metrics_from_probs_packed(
+                jnp.asarray(calibrated), jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+            )
+        )
+    else:
+        packed = np.asarray(
+            _cv_program_gbdt(
+                jnp.asarray(bins_tr), jnp.asarray(y_tr), jnp.asarray(w_tr), base_arr,
+                jnp.asarray(bins_va), jnp.asarray(yv_rep), jnp.asarray(wv_rep), **hp,
+            )
+        )
+    md, probs = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, nv_max))
+
+    metrics_all, fold_preds = [], []
+    full_obs_idx = next(
+        (i for i, s in enumerate(scenarios) if s["name"] == "full_observation"), 0
+    )
+    for i, (train_df, val_df) in enumerate(folds):
+        n_i = len(yva_list[i])
+        res = {}
+        for si, scenario in enumerate(scenarios):
+            m = {k: float(md[k][i, si]) for k in md}
+            if group_col and group_col in val_df.columns:
+                from pd_fusion.evaluation.evaluate import _subject_metrics
+
+                subj = _subject_metrics(
+                    val_df, group_col, yva_list[i].astype(int), probs[i, si, :n_i]
+                )
+                for kk, vv in subj.items():
+                    m[f"subject_{kk}"] = vv
+            res[scenario["name"]] = m
+        metrics_all.append(res)
+        fold_preds.append((yva_list[i], probs[i, full_obs_idx, :n_i]))
+    return metrics_all, fold_preds
 
 
 @lru_cache(maxsize=None)

@@ -338,3 +338,68 @@ def test_env_backend_selection(monkeypatch):
     monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "device")
     m = U.UnimodalGBDT("clinical", {"n_estimators": 5})
     assert m.backend == "device"
+
+
+@pytest.mark.parametrize("calibrate", [False, True])
+def test_parallel_gbdt_cv_matches_sequential(calibrate, tmp_path):
+    """Device-backend unimodal_gbdt routes through the one-program CV
+    engine (vmapped tree training); with no RNG anywhere in the trainer
+    the parallel and sequential paths must agree per fold. k=5 divides
+    N=500 evenly so the stacked program sees exactly the sequential
+    shapes. Uncalibrated tolerance covers reduction-order drift only
+    (vmap vs solo lowering — measured exact on CPU). The calibrated band
+    is wider for the same reason as the MLP calibrate parity test
+    (test_cv_extras): isotonic regression quantizes probs into ties, so
+    ulp-level prob differences between the two lowerings flip block
+    boundaries and step AUC by ~2e-3 (measured 0.0022 at fold 4); a real
+    routing/binning/calibration bug shifts AUC far more."""
+    import jax as _jax
+    import shutil as _shutil
+    import yaml as _yaml
+
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+    from pd_fusion.paths import RUNS_DIR
+
+    base = {
+        "model_type": "unimodal_gbdt",
+        "modality": "clinical",
+        "calibrate": calibrate,
+        "params": {
+            "backend": "device",
+            "n_estimators": 30,
+            "learning_rate": 0.2,
+            "max_depth": 4,
+        },
+    }
+    runs = {}
+    run_ids = []
+    try:
+        for mode, flag in (("par", True), ("seq", False)):
+            run_id = f"pytest_gbdt_parity_{mode}_{int(calibrate)}"
+            run_ids.append(run_id)
+            agg = run_cv_pipeline(
+                "configs/quickstart.yaml",
+                k=5,
+                synthetic=True,
+                overrides={**base, "output_dir": run_id, "parallel_cv": flag},
+            )
+            folds = [
+                _yaml.safe_load(open(RUNS_DIR / run_id / f"results_fold_{i}.yaml"))
+                for i in (1, 2, 3, 4, 5)
+            ]
+            runs[mode] = (agg, folds)
+    finally:
+        for run_id in run_ids:
+            _shutil.rmtree(RUNS_DIR / run_id, ignore_errors=True)
+
+    if _jax.default_backend() == "cpu":
+        tol = 5e-3 if calibrate else 1e-5
+    else:
+        tol = 1e-2
+    for i in range(5):
+        pf, sf = runs["par"][1][i], runs["seq"][1][i]
+        for scen in ("full_observation", "clinical_only", "random_1_drop"):
+            for metric in ("roc_auc", "ece", "brier_score"):
+                assert pf[scen][metric] == pytest.approx(sf[scen][metric], abs=tol), (
+                    i, scen, metric, pf[scen][metric], sf[scen][metric],
+                )
