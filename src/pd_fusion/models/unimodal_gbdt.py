@@ -55,6 +55,7 @@ _DEVICE_PARAM_KEYS = (
     "min_child_samples",
     "min_child_weight",
     "random_state",
+    "hist_mode",
 )
 
 

@@ -43,6 +43,7 @@ gain = 1/2 [GL^2/(HL+lam) + GR^2/(HR+lam) - G^2/(H+lam)], leaf value
 -lr * G/(H+lam), boosting from the base log-odds of the weighted label
 mean (LightGBM boost_from_average).
 """
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -118,23 +119,56 @@ def _split_gain(GL, HL, CL, G, H, C, lam, min_child_weight, min_child_samples):
     return jnp.where(valid, gain, -jnp.inf)
 
 
-def _build_tree(bins, g, h, w, depth, lr, lam, min_child_weight, min_child_samples):
+def _histograms(bins, data, node, n_nodes, hist_mode):
+    """Per-(node, feature, bin) sums of data=[g,h,w] -> [L, F, B, 3], plus
+    per-node totals [L, 3].
+
+    Two lowerings of the same sum:
+      - "scatter": one segment_sum over N*F flattened indices — minimal
+        arithmetic (O(N*F) adds), the natural CPU/sparse formulation.
+      - "onehot": per-feature (B x N) @ (N x L*3) matmuls over one-hot
+        bin/node encodings — ~2*N*B*L*3 flops per feature, i.e. far more
+        arithmetic, but it runs on the TPU MXU where XLA's scatter
+        lowering (sort-based) can dominate the step. Pick per backend via
+        the hist_mode static arg (PD_FUSION_GBDT_HIST for the wrapper);
+        both produce the same sums (equivalence-tested).
+    """
+    n, f = bins.shape
+    if hist_mode == "onehot":
+        node1h = jax.nn.one_hot(node, n_nodes, dtype=data.dtype)  # [N, L]
+        nw = (node1h[:, :, None] * data[:, None, :]).reshape(n, n_nodes * 3)
+
+        def one_feat(bf):
+            b1h = jax.nn.one_hot(bf, N_BINS, dtype=data.dtype)  # [N, B]
+            return (b1h.T @ nw).reshape(N_BINS, n_nodes, 3)
+
+        hist = jax.lax.map(one_feat, bins.T)  # [F, B, L, 3]
+        hist = jnp.transpose(hist, (2, 0, 1, 3))  # [L, F, B, 3]
+        tot = node1h.T @ data  # [L, 3]
+        return hist, tot
+    f_range = jnp.arange(f, dtype=jnp.int32)
+    flat_ids = (node[:, None] * f + f_range[None, :]) * N_BINS + bins  # [N,F]
+    data_b = jnp.broadcast_to(data[:, None, :], (n, f, 3)).reshape(n * f, 3)
+    hist = jax.ops.segment_sum(
+        data_b, flat_ids.reshape(-1), num_segments=n_nodes * f * N_BINS
+    ).reshape(n_nodes, f, N_BINS, 3)
+    tot = jax.ops.segment_sum(data, node, num_segments=n_nodes)  # [L,3]
+    return hist, tot
+
+
+def _build_tree(
+    bins, g, h, w, depth, lr, lam, min_child_weight, min_child_samples, hist_mode
+):
     """Grow one depth-wise tree; returns (tree arrays, per-sample value)."""
     n, f = bins.shape
     l_max = 1 << (depth - 1)
-    f_range = jnp.arange(f, dtype=jnp.int32)
     node = jnp.zeros(n, dtype=jnp.int32)
     data = jnp.stack([g, h, w], axis=-1)  # [N,3]
 
     feats, thrs, mls = [], [], []
     for level in range(depth):
         n_nodes = 1 << level
-        flat_ids = (node[:, None] * f + f_range[None, :]) * N_BINS + bins  # [N,F]
-        data_b = jnp.broadcast_to(data[:, None, :], (n, f, 3)).reshape(n * f, 3)
-        hist = jax.ops.segment_sum(
-            data_b, flat_ids.reshape(-1), num_segments=n_nodes * f * N_BINS
-        ).reshape(n_nodes, f, N_BINS, 3)
-        tot = jax.ops.segment_sum(data, node, num_segments=n_nodes)  # [L,3]
+        hist, tot = _histograms(bins, data, node, n_nodes, hist_mode)
         miss = hist[:, :, MISSING_BIN, :]  # [L,F,3]
         cum = jnp.cumsum(hist[:, :, :N_VALUE_BINS, :], axis=2)  # [L,F,T,3]
 
@@ -193,6 +227,7 @@ def _build_tree(bins, g, h, w, depth, lr, lam, min_child_weight, min_child_sampl
     jax.jit,
     static_argnames=(
         "n_rounds", "depth", "lr", "lam", "min_child_weight", "min_child_samples",
+        "hist_mode",
     ),
 )
 def train_gbdt(
@@ -207,6 +242,7 @@ def train_gbdt(
     lam: float,
     min_child_weight: float,
     min_child_samples: float,
+    hist_mode: str = "scatter",
 ) -> Dict[str, jnp.ndarray]:
     """Train the full ensemble as one compiled program (scan over rounds)."""
 
@@ -215,7 +251,8 @@ def train_gbdt(
         g = (p - y) * w
         h = p * (1.0 - p) * w
         tree, delta = _build_tree(
-            bins, g, h, w, depth, lr, lam, min_child_weight, min_child_samples
+            bins, g, h, w, depth, lr, lam, min_child_weight, min_child_samples,
+            hist_mode,
         )
         return margin + delta, tree
 
@@ -274,6 +311,7 @@ class DeviceHistGBDT:
         min_child_samples: int = 20,
         min_child_weight: float = 1e-3,
         random_state: Optional[int] = None,  # deterministic: accepted, unused
+        hist_mode: Optional[str] = None,
     ):
         if max_depth is None or max_depth <= 0:
             leaves = num_leaves or 31
@@ -284,6 +322,7 @@ class DeviceHistGBDT:
         self.reg_lambda = float(reg_lambda)
         self.min_child_samples = float(min_child_samples)
         self.min_child_weight = float(min_child_weight)
+        self.hist_mode = hist_mode or os.environ.get("PD_FUSION_GBDT_HIST", "scatter")
         self.edges_: Optional[List[np.ndarray]] = None
         self.trees_: Optional[Dict[str, np.ndarray]] = None
         self.base_score_: float = 0.0
@@ -313,6 +352,7 @@ class DeviceHistGBDT:
             lam=self.reg_lambda,
             min_child_weight=self.min_child_weight,
             min_child_samples=self.min_child_samples,
+            hist_mode=getattr(self, "hist_mode", "scatter"),
         )
         self.trees_ = {k: np.asarray(v) for k, v in trees.items()}
         return self

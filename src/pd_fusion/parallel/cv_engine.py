@@ -257,10 +257,11 @@ _eval_probs_with_calib = jax.jit(_probs_with_calib)
 
 @partial(
     jax.jit,
-    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs"),
+    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs", "hist_mode"),
 )
 def _cv_program_gbdt(
-    bins_tr, y_tr, w_tr, base, bins_va, y_va, w_va, *, n_rounds, depth, lr, lam, mcw, mcs
+    bins_tr, y_tr, w_tr, base, bins_va, y_va, w_va, *, n_rounds, depth, lr, lam,
+    mcw, mcs, hist_mode
 ):
     """Train all folds' tree ensembles + evaluate all folds x scenarios +
     pack metrics and probs — ONE dispatch, ONE fetch."""
@@ -269,7 +270,7 @@ def _cv_program_gbdt(
     def train_one(b, y, w, bs):
         return train_gbdt(
             b, y, w, bs, n_rounds=n_rounds, depth=depth, lr=lr, lam=lam,
-            min_child_weight=mcw, min_child_samples=mcs,
+            min_child_weight=mcw, min_child_samples=mcs, hist_mode=hist_mode,
         )
 
     trees = jax.vmap(train_one)(bins_tr, y_tr, w_tr, base)
@@ -284,10 +285,11 @@ def _cv_program_gbdt(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs"),
+    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs", "hist_mode"),
 )
 def _cv_program_gbdt_probs(
-    bins_tr, y_tr, w_tr, base, bins_va, bins_cal, *, n_rounds, depth, lr, lam, mcw, mcs
+    bins_tr, y_tr, w_tr, base, bins_va, bins_cal, *, n_rounds, depth, lr, lam,
+    mcw, mcs, hist_mode
 ):
     """Calibrated variant: return raw eval + calibration-set probs packed
     into one buffer (host isotonic follows; layout mirrors
@@ -297,7 +299,7 @@ def _cv_program_gbdt_probs(
     def train_one(b, y, w, bs):
         return train_gbdt(
             b, y, w, bs, n_rounds=n_rounds, depth=depth, lr=lr, lam=lam,
-            min_child_weight=mcw, min_child_samples=mcs,
+            min_child_weight=mcw, min_child_samples=mcs, hist_mode=hist_mode,
         )
 
     trees = jax.vmap(train_one)(bins_tr, y_tr, w_tr, base)
@@ -941,6 +943,7 @@ def _run_parallel_cv_gbdt(
         lam=proto.reg_lambda,
         mcw=proto.min_child_weight,
         mcs=proto.min_child_samples,
+        hist_mode=proto.hist_mode,
     )
     base_arr = jnp.asarray(np.array(bases, np.float32))
 

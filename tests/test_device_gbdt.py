@@ -147,11 +147,15 @@ def _make_data(seed=0, n=300, f=6, miss=0.15):
 # structure + prediction equivalence vs the oracle
 # --------------------------------------------------------------------------
 
-@pytest.mark.parametrize("seed", [0, 7])
-def test_device_trees_pass_eager_audit(seed):
+@pytest.mark.parametrize(
+    "seed,hist_mode", [(0, "scatter"), (7, "scatter"), (0, "onehot")]
+)
+def test_device_trees_pass_eager_audit(seed, hist_mode):
     """Train in f64 (jax.enable_x64), then audit every node decision and
     leaf value against the eager numpy reference (see audit_device_trees
-    for why optimality — not structure equality — is the invariant)."""
+    for why optimality — not structure equality — is the invariant).
+    Covers both histogram lowerings (scatter segment-sum and the
+    MXU-friendly one-hot matmul)."""
     import jax.numpy as jnp
     from jax import enable_x64
 
@@ -170,7 +174,7 @@ def test_device_trees_pass_eager_audit(seed):
             jnp.asarray(w, jnp.float64),
             jnp.float64(base),
             n_rounds=n_rounds, depth=3, lr=0.3, lam=0.5,
-            min_child_weight=1e-3, min_child_samples=5.0,
+            min_child_weight=1e-3, min_child_samples=5.0, hist_mode=hist_mode,
         )
         margin_dev = np.asarray(
             G.predict_margin(trees_dev, jnp.asarray(bins), jnp.float64(base), depth=3)
@@ -183,6 +187,35 @@ def test_device_trees_pass_eager_audit(seed):
     # the device's own margin accumulation must equal the eager replay of
     # its trees (routing semantics agree end-to-end)
     np.testing.assert_allclose(margin_dev, margin_audit, atol=1e-9)
+
+
+def test_histogram_lowerings_agree():
+    """scatter (segment-sum) and onehot (matmul) histogram modes compute
+    the same (node, feature, bin) sums — f64 agreement to 1e-12."""
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from pd_fusion.nn.gbdt import _histograms
+
+    rng = np.random.default_rng(13)
+    n, f, L = 257, 5, 8
+    bins = rng.integers(0, 256, size=(n, f)).astype(np.int32)
+    bins[rng.random((n, f)) < 0.1] = MISSING_BIN
+    data = rng.normal(size=(n, 3))
+    node = rng.integers(0, L, size=n).astype(np.int32)
+    with enable_x64():
+        h1, t1 = _histograms(
+            jnp.asarray(bins), jnp.asarray(data), jnp.asarray(node), L, "scatter"
+        )
+        h2, t2 = _histograms(
+            jnp.asarray(bins), jnp.asarray(data), jnp.asarray(node), L, "onehot"
+        )
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-12)
+    # numpy oracle for one (node, feature) cell
+    sel = node == 3
+    expect = np.bincount(bins[sel, 2], weights=data[sel, 0], minlength=256)
+    np.testing.assert_allclose(np.asarray(h1)[3, 2, :, 0], expect, atol=1e-12)
 
 
 def test_missing_direction_is_learned():
