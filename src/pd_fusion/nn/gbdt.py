@@ -135,17 +135,26 @@ def _histograms(bins, data, node, n_nodes, hist_mode):
     """
     n, f = bins.shape
     if hist_mode == "onehot":
+        # HIGHEST precision is load-bearing: the default TPU matmul runs
+        # bf16 MXU passes, which would truncate the f32 g/h sums to ~3
+        # digits and make this lowering disagree with scatter (the same
+        # trap documented around every f32 matmul parity test in this
+        # repo). HIGHEST keeps true input precision; the MXU still runs
+        # it (as f32-accumulated passes).
+        hi = jax.lax.Precision.HIGHEST
         node1h = jax.nn.one_hot(node, n_nodes, dtype=data.dtype)  # [N, L]
         nw = (node1h[:, :, None] * data[:, None, :]).reshape(n, n_nodes * 3)
 
         def one_feat(bf):
             b1h = jax.nn.one_hot(bf, N_BINS, dtype=data.dtype)  # [N, B]
-            return (b1h.T @ nw).reshape(N_BINS, n_nodes, 3)
+            return jnp.matmul(b1h.T, nw, precision=hi).reshape(N_BINS, n_nodes, 3)
 
         hist = jax.lax.map(one_feat, bins.T)  # [F, B, L, 3]
         hist = jnp.transpose(hist, (2, 0, 1, 3))  # [L, F, B, 3]
-        tot = node1h.T @ data  # [L, 3]
+        tot = jnp.matmul(node1h.T, data, precision=hi)  # [L, 3]
         return hist, tot
+    if hist_mode != "scatter":
+        raise ValueError(f"unknown hist_mode {hist_mode!r} (use 'scatter' or 'onehot')")
     f_range = jnp.arange(f, dtype=jnp.int32)
     flat_ids = (node[:, None] * f + f_range[None, :]) * N_BINS + bins  # [N,F]
     data_b = jnp.broadcast_to(data[:, None, :], (n, f, 3)).reshape(n * f, 3)
@@ -287,6 +296,20 @@ def predict_margin(
     return margin
 
 
+def compute_base_score(y: np.ndarray, w: Optional[np.ndarray] = None) -> float:
+    """Weighted-prevalence log-odds (LightGBM boost_from_average). The ONE
+    canonical expression: the parallel CV engine and DeviceHistGBDT.fit
+    must produce bit-identical base scores, or ulp-level drift can flip
+    near-tie split argmaxes between the two paths (exact ties are
+    structural in this algorithm — see tests/test_device_gbdt.py)."""
+    y = np.asarray(y, np.float32)
+    w = np.ones_like(y) if w is None else np.asarray(w, np.float32)
+    wsum = float(w.sum())
+    p = float((y * w).sum() / wsum) if wsum > 0 else 0.5
+    p = min(max(p, 1e-7), 1.0 - 1e-7)
+    return float(np.log(p / (1.0 - p)))
+
+
 # --------------------------------------------------------------------------
 # sklearn-style wrapper (drop-in for the UnimodalGBDT backend chain)
 # --------------------------------------------------------------------------
@@ -316,6 +339,14 @@ class DeviceHistGBDT:
         if max_depth is None or max_depth <= 0:
             leaves = num_leaves or 31
             max_depth = max(1, int(np.ceil(np.log2(max(2, leaves)))))
+        if max_depth > 10:
+            import logging
+
+            logging.getLogger("pd_fusion").warning(
+                "DeviceHistGBDT: max_depth %d clamped to 10 (2^depth leaf "
+                "arrays are static-shape; the host backends honor larger "
+                "depths)", max_depth,
+            )
         self.n_estimators = int(n_estimators)
         self.learning_rate = float(learning_rate)
         self.max_depth = int(min(max_depth, 10))
@@ -323,9 +354,14 @@ class DeviceHistGBDT:
         self.min_child_samples = float(min_child_samples)
         self.min_child_weight = float(min_child_weight)
         self.hist_mode = hist_mode or os.environ.get("PD_FUSION_GBDT_HIST", "scatter")
+        if self.hist_mode not in ("scatter", "onehot"):
+            raise ValueError(
+                f"unknown hist_mode {self.hist_mode!r} (use 'scatter' or 'onehot')"
+            )
         self.edges_: Optional[List[np.ndarray]] = None
         self.trees_: Optional[Dict[str, np.ndarray]] = None
         self.base_score_: float = 0.0
+        self._trees_dev = None  # device-resident cache; never pickled
 
     def fit(self, X, y, sample_weight=None):
         X = np.asarray(X, np.float32)
@@ -337,10 +373,7 @@ class DeviceHistGBDT:
         )
         self.edges_ = fit_bin_edges(X)
         bins = bin_features(X, self.edges_)
-        wsum = float(w.sum())
-        p = float((y * w).sum() / wsum) if wsum > 0 else 0.5
-        p = min(max(p, 1e-7), 1.0 - 1e-7)
-        self.base_score_ = float(np.log(p / (1.0 - p)))
+        self.base_score_ = compute_base_score(y, w)
         trees = train_gbdt(
             jnp.asarray(bins),
             jnp.asarray(y),
@@ -355,14 +388,25 @@ class DeviceHistGBDT:
             hist_mode=getattr(self, "hist_mode", "scatter"),
         )
         self.trees_ = {k: np.asarray(v) for k, v in trees.items()}
+        self._trees_dev = trees  # keep the device copies for predicts
         return self
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_trees_dev"] = None  # device buffers are not picklable state
+        return state
 
     def _margin(self, X) -> np.ndarray:
         if self.trees_ is None:
             raise RuntimeError("DeviceHistGBDT is not fitted")
+        if getattr(self, "_trees_dev", None) is None:
+            # one upload after unpickle, then cached — scenario evals call
+            # predict once per scenario and each device_put costs a relay
+            # round-trip
+            self._trees_dev = {k: jnp.asarray(v) for k, v in self.trees_.items()}
         bins = bin_features(np.asarray(X, np.float32), self.edges_)
         out = predict_margin(
-            {k: jnp.asarray(v) for k, v in self.trees_.items()},
+            self._trees_dev,
             jnp.asarray(bins),
             jnp.float32(self.base_score_),
             depth=self.max_depth,

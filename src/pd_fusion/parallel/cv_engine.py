@@ -867,7 +867,12 @@ def _run_parallel_cv_gbdt(
     val matrix with masked modality blocks zeroed THEN re-binned with the
     fold's edges (evaluate.predict_for_masks), calibration inputs are the
     raw un-zeroed matrix."""
-    from pd_fusion.nn.gbdt import DeviceHistGBDT, bin_features, fit_bin_edges
+    from pd_fusion.nn.gbdt import (
+        DeviceHistGBDT,
+        bin_features,
+        compute_base_score,
+        fit_bin_edges,
+    )
 
     params_cfg = {k: v for k, v in config["params"].items() if k != "backend"}
     from pd_fusion.models.unimodal_gbdt import _DEVICE_PARAM_KEYS
@@ -898,8 +903,7 @@ def _run_parallel_cv_gbdt(
         bins_tr_list.append(bin_features(X_tr, edges))
         y = train_df[TARGET_COL].values.astype(np.float32)
         y_tr_list.append(y)
-        p = float(np.clip(y.mean(), 1e-7, 1.0 - 1e-7))
-        bases.append(np.log(p / (1.0 - p)))
+        bases.append(compute_base_score(y))
         scen_b = []
         for scenario in scenarios:
             cur = apply_missingness_scenario(val_df, scenario, val_masks)

@@ -262,17 +262,14 @@ def test_weighted_equals_repetition():
 
 
 def test_zero_weight_rows_are_invisible():
+    """With binning held fixed, appending rows with w=0 must leave the
+    trained ensemble bit-identical (this is what makes the parallel CV
+    engine's zero-weight fold padding exact)."""
     X, y = _make_data(seed=4, n=200, f=4)
     Xn = np.concatenate([X, np.full((50, 4), 7.7, np.float32)])
     yn = np.concatenate([y, np.ones(50, np.float32)])
     w = np.concatenate([np.ones_like(y), np.zeros(50, np.float32)])
     a = DeviceHistGBDT(n_estimators=6, max_depth=3).fit(X, y)
-    b = DeviceHistGBDT(n_estimators=6, max_depth=3)
-    b.edges_ = a.edges_  # not used: fit refits edges; compare via same raw rows
-    b.fit(Xn, yn, sample_weight=w)
-    # edges differ (quantiles see the padding rows) so compare AUC-level
-    # behavior on the real rows; the trees themselves must carry zero
-    # contribution from zero-weight rows once binning is fixed:
     bins = bin_features(X, a.edges_)
     bins_n = np.concatenate([bins, bin_features(Xn[len(X):], a.edges_)])
     from pd_fusion.nn import gbdt as G
@@ -363,6 +360,17 @@ def test_unimodal_gbdt_device_backend_roundtrip(tmp_path):
     m.save(path)
     m2 = UnimodalGBDT.load(path)
     np.testing.assert_allclose(m2.predict_proba(X), p, atol=0)
+
+
+def test_hist_mode_validation_and_depth_clamp_warning(caplog):
+    import logging
+
+    with pytest.raises(ValueError, match="hist_mode"):
+        DeviceHistGBDT(hist_mode="one_hot")  # typo must not silently fall back
+    with caplog.at_level(logging.WARNING, logger="pd_fusion"):
+        m = DeviceHistGBDT(max_depth=12)
+    assert m.max_depth == 10
+    assert any("clamped" in r.message for r in caplog.records)
 
 
 def test_env_backend_selection(monkeypatch):
