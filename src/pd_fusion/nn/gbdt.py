@@ -174,7 +174,7 @@ def _build_tree(
     node = jnp.zeros(n, dtype=jnp.int32)
     data = jnp.stack([g, h, w], axis=-1)  # [N,3]
 
-    feats, thrs, mls = [], [], []
+    feats, thrs, mls, gains_rec = [], [], [], []
     for level in range(depth):
         n_nodes = 1 << level
         hist, tot = _histograms(bins, data, node, n_nodes, hist_mode)
@@ -212,6 +212,7 @@ def _build_tree(
         feats.append(jnp.pad(f_best, (0, pad)))
         thrs.append(jnp.pad(t_best, (0, pad)))
         mls.append(jnp.pad(ml_best, (0, pad)))
+        gains_rec.append(jnp.pad(jnp.where(no_split, 0.0, best_gain), (0, pad)))
 
         f_of_n = f_best[node]
         t_of_n = t_best[node]
@@ -227,6 +228,7 @@ def _build_tree(
         "feat": jnp.stack(feats),  # [D, Lmax] int32
         "thr": jnp.stack(thrs),  # [D, Lmax] int32
         "miss_left": jnp.stack(mls),  # [D, Lmax] bool
+        "gain": jnp.stack(gains_rec),  # [D, Lmax] split gains (0 = pass-through)
         "leaf": leaf_vals,  # [2^D] f32
     }
     return tree, leaf_vals[node]
@@ -412,6 +414,24 @@ class DeviceHistGBDT:
             depth=self.max_depth,
         )
         return np.asarray(out)
+
+    @property
+    def feature_importances_(self) -> np.ndarray:
+        """Gain-based importances, normalized to sum 1 (total split gain
+        per feature across the ensemble). Restores the suites'
+        tree-importance outputs on this backend — sklearn's HistGB has no
+        feature_importances_ at all, so the reference's top-20 importance
+        CSVs (reference scripts/ppmi_meaningful_suite.py) silently skip
+        on the in-image fallback chain."""
+        if self.trees_ is None:
+            raise RuntimeError("DeviceHistGBDT is not fitted")
+        feat = self.trees_["feat"].ravel()
+        thr = self.trees_["thr"].ravel()
+        gain = self.trees_["gain"].ravel().astype(np.float64)
+        real = thr != MISSING_BIN  # pass-through/padded nodes carry no split
+        imp = np.bincount(feat[real], weights=gain[real], minlength=len(self.edges_))
+        tot = imp.sum()
+        return (imp / tot if tot > 0 else imp).astype(np.float64)
 
     def predict_proba(self, X) -> np.ndarray:
         p1 = 1.0 / (1.0 + np.exp(-self._margin(X)))

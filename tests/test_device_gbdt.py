@@ -362,6 +362,33 @@ def test_unimodal_gbdt_device_backend_roundtrip(tmp_path):
     np.testing.assert_allclose(m2.predict_proba(X), p, atol=0)
 
 
+def test_feature_importances_gain_based():
+    """Signal features dominate the gain-based importances; a pure-noise
+    feature is near zero; the vector is a normalized distribution. Also
+    pins suite integration: extract_importance dispatches on
+    hasattr(feature_importances_)."""
+    rng = np.random.default_rng(21)
+    n = 800
+    X = rng.normal(size=(n, 5)).astype(np.float32)
+    logits = 2.0 * X[:, 1] - 1.5 * X[:, 3]
+    y = (rng.random(n) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+    m = DeviceHistGBDT(n_estimators=20, learning_rate=0.2, max_depth=3).fit(X, y)
+    imp = m.feature_importances_
+    assert imp.shape == (5,)
+    assert imp.sum() == pytest.approx(1.0)
+    assert np.all(imp >= 0)
+    assert imp[1] > 0.25 and imp[3] > 0.15  # the two signal features
+    assert imp[[0, 2, 4]].sum() < 0.2  # noise features stay small
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from ppmi_meaningful_suite import extract_importance
+
+    got = extract_importance(m, "lgbm")
+    np.testing.assert_allclose(got, imp)
+
+
 def test_hist_mode_validation_and_depth_clamp_warning(caplog):
     import logging
 
