@@ -26,6 +26,7 @@ NaN inside a train fold is imputed with 0.0 and kept (sklearn silently
 drops it, desynchronizing the feature-name list the suites write).
 """
 import logging
+import os
 import re
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
@@ -430,7 +431,16 @@ def with_asymmetry(df: pd.DataFrame, cols: Sequence[str]) -> Tuple[pd.DataFrame,
 
 def boosted_tree(seed: int, num_threads: int = 2, logger: Optional[logging.Logger] = None):
     """Gradient-boosted classifier, reference hyperparameters, with the
-    reference's availability chain (LightGBM, else sklearn HistGB)."""
+    reference's availability chain (LightGBM, else sklearn HistGB).
+    PD_FUSION_GBDT_BACKEND=device swaps in the TPU-native trainer
+    (nn/gbdt.py: one-program ensemble + gain importances, which HistGB
+    cannot provide for the suites' importance CSVs)."""
+    if os.environ.get("PD_FUSION_GBDT_BACKEND") == "device":
+        from pd_fusion.nn.gbdt import DeviceHistGBDT
+
+        return DeviceHistGBDT(
+            n_estimators=300, learning_rate=0.05, num_leaves=31, random_state=seed
+        )
     try:
         from lightgbm import LGBMClassifier  # pragma: no cover - absent in-image
     except Exception as exc:

@@ -389,6 +389,25 @@ def test_feature_importances_gain_based():
     np.testing.assert_allclose(got, imp)
 
 
+def test_boosted_tree_factory_device_backend(monkeypatch):
+    """PD_FUSION_GBDT_BACKEND=device swaps the suites' shared tree
+    factory (analysis.tabular.boosted_tree) onto the TPU-native trainer,
+    with importances the HistGB stand-in cannot provide."""
+    from pd_fusion.analysis.tabular import boosted_tree
+
+    monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "device")
+    clf = boosted_tree(seed=3)
+    assert isinstance(clf, DeviceHistGBDT)
+    X, y = _make_data(seed=12, n=150, f=4)
+    clf.fit(X, y)
+    assert clf.predict_proba(X).shape == (150, 2)
+    assert clf.feature_importances_.shape == (4,)
+    monkeypatch.delenv("PD_FUSION_GBDT_BACKEND")
+    from sklearn.ensemble import HistGradientBoostingClassifier
+
+    assert isinstance(boosted_tree(seed=3), HistGradientBoostingClassifier)
+
+
 def test_hist_mode_validation_and_depth_clamp_warning(caplog):
     import logging
 
