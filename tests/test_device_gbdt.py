@@ -389,6 +389,27 @@ def test_feature_importances_gain_based():
     np.testing.assert_allclose(got, imp)
 
 
+def test_constant_features_yield_prevalence():
+    """No feature can split -> every node passes through -> the model
+    predicts the (shrunken-toward-base) prevalence, with no NaNs and an
+    all-zero importance vector."""
+    n = 100
+    X = np.full((n, 3), 2.5, np.float32)
+    y = np.array([0.0, 1.0] * 50, np.float32)
+    m = DeviceHistGBDT(n_estimators=5, max_depth=3).fit(X, y)
+    p = m.predict_proba(X)[:, 1]
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(p, 0.5, atol=1e-5)
+    np.testing.assert_array_equal(m.feature_importances_, np.zeros(3))
+
+
+def test_single_class_labels_no_nan():
+    X, y = _make_data(seed=15, n=80, f=4)
+    m = DeviceHistGBDT(n_estimators=5, max_depth=2).fit(X, np.ones_like(y))
+    p = m.predict_proba(X)[:, 1]
+    assert np.all(np.isfinite(p)) and np.all(p > 0.9)
+
+
 def test_boosted_tree_factory_device_backend(monkeypatch):
     """PD_FUSION_GBDT_BACKEND=device swaps the suites' shared tree
     factory (analysis.tabular.boosted_tree) onto the TPU-native trainer,
