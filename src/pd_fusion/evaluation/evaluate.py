@@ -172,6 +172,58 @@ def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, g
     return results
 
 
+def _eval_scenarios_fused_gbdt(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
+    """Device-GBDT twin of ``_eval_scenarios_fused``: scenario matrices are
+    zeroed then re-binned host-side (tiny searchsorted), and ONE device
+    program traverses the ensemble for all scenarios + computes packed
+    metrics. The per-scenario loop pays one dispatch per scenario over the
+    relay; this pays one."""
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.gbdt import predict_margin
+    from pd_fusion.ops.metrics import (
+        binary_metrics,
+        pack_metrics_and_probs,
+        unpack_metrics_and_probs,
+    )
+
+    imputer, scaler, feature_cols = prep_info
+    X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
+    mats = []
+    for scenario in scenarios:
+        current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
+        X = apply_masks_to_matrix(X_base, current_masks, feature_cols)
+        mats.append(model.prepare_eval_bins(X))
+    stack = jnp.asarray(np.stack(mats))  # [S, N, F] int32
+    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
+    w = jnp.ones_like(y)
+    inner = model.model
+    trees = {k: jnp.asarray(v) for k, v in inner.trees_.items()}
+    depth = inner.max_depth
+    base = jnp.float32(inner.base_score_)
+
+    @jax.jit
+    def program(t, bins_s, b0, y_s, w_s):
+        probs = jax.vmap(
+            lambda bb: jax.nn.sigmoid(predict_margin(t, bb, b0, depth=depth))
+        )(bins_s)
+        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
+        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
+
+    packed = np.asarray(program(trees, stack, base, y, w))
+    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
+
+    results = {}
+    for si, scenario in enumerate(scenarios):
+        metrics = {k: float(v[si]) for k, v in md.items()}
+        if group_col and group_col in df_test.columns:
+            for k, v in _subject_metrics(df_test, group_col, y_true, probs[si]).items():
+                metrics[f"subject_{k}"] = v
+        results[scenario["name"]] = metrics
+    return results
+
+
 def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Dict[str, float]]:
     results = {}
     scenarios = config.get("scenarios", [{"name": "baseline", "drop_modalities": []}])
@@ -192,6 +244,16 @@ def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Di
         )
     if multi and is_moe_prep(prep_info) and hasattr(type(model), "_stack_inputs"):
         return _eval_scenarios_fused_moe(
+            model, df_test, mask_test, prep_info, scenarios, group_col, y_true
+        )
+    if (
+        multi
+        and not is_mil_prep(prep_info)
+        and not is_moe_prep(prep_info)
+        and hasattr(type(model), "prepare_eval_bins")
+        and getattr(model, "backend", None) == "device"
+    ):
+        return _eval_scenarios_fused_gbdt(
             model, df_test, mask_test, prep_info, scenarios, group_col, y_true
         )
 

@@ -95,6 +95,17 @@ class UnimodalGBDT(BaseModel):
     def predict_proba(self, X, masks=None):
         return self.model.predict_proba(X)[:, 1]
 
+    def prepare_eval_bins(self, X):
+        """Device-backend capability hook for the fused single-run
+        scenario eval (evaluation/evaluate.py:_eval_scenarios_fused_gbdt):
+        scenario-zeroed matrix -> int32 bin codes under the fitted edges.
+        Only meaningful when backend == 'device'."""
+        import numpy as np
+
+        from pd_fusion.nn.gbdt import bin_features
+
+        return bin_features(np.asarray(X, np.float32), self.model.edges_)
+
     def save(self, path):
         save_pickle(self, path)
 

@@ -115,3 +115,50 @@ def test_fused_scenario_eval_matches_loop(family):
     for scen in fused:
         for metric, v in loop[scen].items():
             assert fused[scen][metric] == pytest.approx(v, abs=1e-5), (scen, metric)
+
+
+def test_fused_gbdt_scenario_eval_matches_loop(monkeypatch):
+    """Device-backend unimodal GBDT: the one-program scenario eval must
+    equal the per-scenario loop, and must actually be the path taken
+    (guarded by a spy — a silent fallback to the loop would also pass
+    the equality)."""
+    from pd_fusion.data.feature_utils import get_modality_feature_cols
+    from pd_fusion.evaluation import evaluate as EV
+    from pd_fusion.models.unimodal_gbdt import UnimodalGBDT
+
+    df, masks = _data()
+    feats = get_modality_feature_cols(df, "clinical")
+    X, _, scaler = preprocess_features(df, feats)
+    y = df[TARGET_COL].values
+    prep_info = (None, scaler, feats)
+
+    model = UnimodalGBDT(
+        "clinical", {"backend": "device", "n_estimators": 15, "max_depth": 3}
+    )
+    model.train(X, y)
+
+    called = {"fused": 0}
+    real = EV._eval_scenarios_fused_gbdt
+
+    def spy(*a, **k):
+        called["fused"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(EV, "_eval_scenarios_fused_gbdt", spy)
+    set_seed(11)
+    fused = EV.evaluate_model(model, df, masks, prep_info, {"scenarios": SCENARIOS})
+    assert called["fused"] == 1
+    set_seed(11)
+    loop = _loop_results(model, df, masks, prep_info)
+
+    assert set(fused) == set(loop)
+    for scen in fused:
+        for metric, v in loop[scen].items():
+            assert fused[scen][metric] == pytest.approx(v, abs=1e-5), (scen, metric)
+
+    # the host HistGB backend must keep the per-scenario loop
+    h = UnimodalGBDT("clinical", {"n_estimators": 15, "max_depth": 3})
+    h.train(X, y)
+    called["fused"] = 0
+    EV.evaluate_model(h, df, masks, prep_info, {"scenarios": SCENARIOS})
+    assert called["fused"] == 0
