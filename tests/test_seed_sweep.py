@@ -99,3 +99,50 @@ def test_fused_sweep_reproduces_standalone_seed_run(tmp_path):
                 fused["y_prob"].values, np.asarray(fold_preds[i - 1][1]), atol=1e-6,
                 err_msg=f"seed {seed} fold {i}",
             )
+
+
+def test_fused_sweep_device_gbdt_reproduces_standalone(tmp_path):
+    """Device-backend GBDT rides the fused (S x K) sweep: per-fold
+    predictions must equal a standalone run_parallel_cv under each seed
+    (the trainer is deterministic — only the fold splits consume the
+    seed)."""
+    import numpy as np
+
+    from pd_fusion.data.splits import get_kfold_splits
+    from pd_fusion.experiments.run_experiment import load_dataset
+    from pd_fusion.parallel.cv_engine import run_parallel_cv
+    from pd_fusion.parallel.seed_sweep import run_multi_seed_cv
+    from pd_fusion.utils.seed import set_seed
+
+    config = load_yaml("configs/quickstart.yaml")
+    config.update(
+        {
+            "model_type": "unimodal_gbdt",
+            "modality": "clinical",
+            "params": {"backend": "device", "n_estimators": 10, "max_depth": 3},
+        }
+    )
+    data_config = load_yaml("configs/data_ppmi.yaml")
+    eval_config = {"scenarios": [{"name": "full_observation", "drop_modalities": []}]}
+
+    seeds = [41, 42]
+    run_multi_seed_cv(
+        config, data_config, eval_config, seeds=seeds, k=2, synthetic=True,
+        sweep_dir=tmp_path / "sweep",
+    )
+
+    for seed in seeds:
+        cfg_s = dict(config, seed=seed)
+        set_seed(seed)
+        _, df, masks = load_dataset(cfg_s, data_config, True)
+        folds = list(get_kfold_splits(df, n_splits=2, seed=seed))
+        _, fold_preds = run_parallel_cv(cfg_s, df, masks, folds, eval_config)
+        for i in (1, 2):
+            fused = pd.read_csv(
+                tmp_path / "sweep" / f"unimodal_gbdt_s{seed}" /
+                f"preds_fold_{i}_full_observation.csv"
+            )
+            np.testing.assert_allclose(
+                fused["y_prob"].values, np.asarray(fold_preds[i - 1][1]), atol=1e-6,
+                err_msg=f"seed {seed} fold {i}",
+            )
