@@ -434,12 +434,17 @@ def boosted_tree(seed: int, num_threads: int = 2, logger: Optional[logging.Logge
     reference's availability chain (LightGBM, else sklearn HistGB).
     PD_FUSION_GBDT_BACKEND=device swaps in the TPU-native trainer
     (nn/gbdt.py: one-program ensemble + gain importances, which HistGB
-    cannot provide for the suites' importance CSVs)."""
+    cannot provide for the suites' importance CSVs). The device arm
+    keeps the lgbm arm's class_weight='balanced'; subsample/colsample
+    are not emulated (the device trainer is deterministic by design),
+    and shap.TreeExplainer does not recognize it — the imaging suite's
+    SHAP leg soft-skips with a warning in that combination."""
     if os.environ.get("PD_FUSION_GBDT_BACKEND") == "device":
         from pd_fusion.nn.gbdt import DeviceHistGBDT
 
         return DeviceHistGBDT(
-            n_estimators=300, learning_rate=0.05, num_leaves=31, random_state=seed
+            n_estimators=300, learning_rate=0.05, num_leaves=31, random_state=seed,
+            class_weight="balanced",
         )
     try:
         from lightgbm import LGBMClassifier  # pragma: no cover - absent in-image

@@ -73,42 +73,35 @@ def _subject_metrics(df, group_col, y_true, y_prob):
     return compute_metrics(y_true_g, y_prob_g)
 
 
-def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
-    """All scenarios as ONE device program: stacked [S, N, F'] inputs ->
-    vmapped MLP forward -> vmapped metrics reduction. Mirrors the CV
-    engine's [K, S, N] fused evaluation (parallel/cv_engine.py) for the
-    single-split pipeline; the reference loops scenario-by-scenario
-    (evaluate.py:11-169)."""
-    import jax
+def _tiled_targets(y_true, n_scenarios):
+    """[S, N] float32 labels + all-ones weights for the fused programs."""
     import jax.numpy as jnp
 
-    from pd_fusion.nn.mlp import mlp_apply
-    from pd_fusion.ops.metrics import (
-        binary_metrics,
-        pack_metrics_and_probs,
-        unpack_metrics_and_probs,
+    y = jnp.asarray(np.tile(y_true.astype(np.float32), (n_scenarios, 1)))
+    return y, jnp.ones_like(y)
+
+
+def _packed_scenario_metrics(probs, y_s, w_s):
+    """Shared tail of every fused scenario program: per-scenario metric
+    sets + probs packed into ONE fetchable buffer. Keeping this in one
+    place means a metrics/packing change cannot silently diverge between
+    the MLP / MoE / GBDT fused paths."""
+    import jax
+
+    from pd_fusion.ops.metrics import binary_metrics, pack_metrics_and_probs
+
+    md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
+    return pack_metrics_and_probs(md, probs)
+
+
+def _assemble_scenario_results(packed, scenarios, df_test, group_col, y_true):
+    """Host tail shared by the fused paths: unpack the buffer, add
+    subject-level metrics, and key by scenario name."""
+    from pd_fusion.ops.metrics import unpack_metrics_and_probs
+
+    md, probs = unpack_metrics_and_probs(
+        packed, (len(scenarios),), (len(scenarios), len(y_true))
     )
-
-    imputer, scaler, feature_cols = prep_info
-    X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
-    mats = []
-    for scenario in scenarios:
-        current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
-        X = apply_masks_to_matrix(X_base, current_masks, feature_cols)
-        mats.append(model.prepare_eval_matrix(X, current_masks))
-    stack = jnp.asarray(np.stack(mats))  # [S, N, F']
-    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
-    w = jnp.ones_like(y)
-
-    @jax.jit
-    def program(net_params, X_s, y_s, w_s):
-        probs = jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(net_params, x)))(X_s)
-        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
-        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
-
-    packed = np.asarray(program(model.net_params, stack, y, w))
-    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
-
     results = {}
     for si, scenario in enumerate(scenarios):
         metrics = {k: float(v[si]) for k, v in md.items()}
@@ -119,6 +112,36 @@ def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group
     return results
 
 
+def _eval_scenarios_fused(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
+    """All scenarios as ONE device program: stacked [S, N, F'] inputs ->
+    vmapped MLP forward -> vmapped metrics reduction. Mirrors the CV
+    engine's [K, S, N] fused evaluation (parallel/cv_engine.py) for the
+    single-split pipeline; the reference loops scenario-by-scenario
+    (evaluate.py:11-169)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pd_fusion.nn.mlp import mlp_apply
+
+    imputer, scaler, feature_cols = prep_info
+    X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
+    mats = []
+    for scenario in scenarios:
+        current_masks = apply_missingness_scenario(df_test, scenario, mask_test)
+        X = apply_masks_to_matrix(X_base, current_masks, feature_cols)
+        mats.append(model.prepare_eval_matrix(X, current_masks))
+    stack = jnp.asarray(np.stack(mats))  # [S, N, F']
+    y, w = _tiled_targets(y_true, len(scenarios))
+
+    @jax.jit
+    def program(net_params, X_s, y_s, w_s):
+        probs = jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(net_params, x)))(X_s)
+        return _packed_scenario_metrics(probs, y_s, w_s)  # one fetch, one relay RTT
+
+    packed = np.asarray(program(model.net_params, stack, y, w))
+    return _assemble_scenario_results(packed, scenarios, df_test, group_col, y_true)
+
+
 def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
     """MoE twin of ``_eval_scenarios_fused``: [S, M, N, Fmax] stacked
     per-modality inputs + [S, N, M] masks -> one vmapped stacked-expert
@@ -127,11 +150,6 @@ def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, g
     import jax.numpy as jnp
 
     from pd_fusion.nn.moe import moe_apply
-    from pd_fusion.ops.metrics import (
-        binary_metrics,
-        pack_metrics_and_probs,
-        unpack_metrics_and_probs,
-    )
 
     mods_used = list(prep_info.keys())
     base = {}
@@ -150,26 +168,15 @@ def _eval_scenarios_fused_moe(model, df_test, mask_test, prep_info, scenarios, g
         mms.append(np.stack([cm[m] for m in mods_used], axis=1).astype(np.float32))
     x_s = jnp.asarray(np.stack(xs))  # [S, M, N, Fmax]
     m_s = jnp.asarray(np.stack(mms))  # [S, N, M]
-    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
-    w = jnp.ones_like(y)
+    y, w = _tiled_targets(y_true, len(scenarios))
 
     @jax.jit
     def program(net_params, x, m, y_s, w_s):
         probs = jax.vmap(lambda xx, mm: moe_apply(net_params, xx, mm))(x, m)
-        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
-        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
+        return _packed_scenario_metrics(probs, y_s, w_s)  # one fetch, one relay RTT
 
     packed = np.asarray(program(model.net_params, x_s, m_s, y, w))
-    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
-
-    results = {}
-    for si, scenario in enumerate(scenarios):
-        metrics = {k: float(v[si]) for k, v in md.items()}
-        if group_col and group_col in df_test.columns:
-            for k, v in _subject_metrics(df_test, group_col, y_true, probs[si]).items():
-                metrics[f"subject_{k}"] = v
-        results[scenario["name"]] = metrics
-    return results
+    return _assemble_scenario_results(packed, scenarios, df_test, group_col, y_true)
 
 
 def _eval_scenarios_fused_gbdt(model, df_test, mask_test, prep_info, scenarios, group_col, y_true):
@@ -182,11 +189,6 @@ def _eval_scenarios_fused_gbdt(model, df_test, mask_test, prep_info, scenarios, 
     import jax.numpy as jnp
 
     from pd_fusion.nn.gbdt import predict_margin
-    from pd_fusion.ops.metrics import (
-        binary_metrics,
-        pack_metrics_and_probs,
-        unpack_metrics_and_probs,
-    )
 
     imputer, scaler, feature_cols = prep_info
     X_base, _, _ = preprocess_features(df_test, feature_cols, imputer, scaler)
@@ -196,10 +198,13 @@ def _eval_scenarios_fused_gbdt(model, df_test, mask_test, prep_info, scenarios, 
         X = apply_masks_to_matrix(X_base, current_masks, feature_cols)
         mats.append(model.prepare_eval_bins(X))
     stack = jnp.asarray(np.stack(mats))  # [S, N, F] int32
-    y = jnp.asarray(np.tile(y_true.astype(np.float32), (len(scenarios), 1)))
-    w = jnp.ones_like(y)
+    y, w = _tiled_targets(y_true, len(scenarios))
     inner = model.model
-    trees = {k: jnp.asarray(v) for k, v in inner.trees_.items()}
+    if getattr(inner, "_trees_dev", None) is None:
+        # populate the model's own device cache (one upload, shared with
+        # later predict calls) instead of re-shipping the ensemble here
+        inner._trees_dev = {k: jnp.asarray(v) for k, v in inner.trees_.items()}
+    trees = inner._trees_dev
     depth = inner.max_depth
     base = jnp.float32(inner.base_score_)
 
@@ -208,20 +213,10 @@ def _eval_scenarios_fused_gbdt(model, df_test, mask_test, prep_info, scenarios, 
         probs = jax.vmap(
             lambda bb: jax.nn.sigmoid(predict_margin(t, bb, b0, depth=depth))
         )(bins_s)
-        md = jax.vmap(lambda yy, pp, ww: binary_metrics(yy, pp, ww, 0.5))(y_s, probs, w_s)
-        return pack_metrics_and_probs(md, probs)  # one fetch, one relay RTT
+        return _packed_scenario_metrics(probs, y_s, w_s)  # one fetch, one relay RTT
 
     packed = np.asarray(program(trees, stack, base, y, w))
-    md, probs = unpack_metrics_and_probs(packed, (len(scenarios),), (len(scenarios), len(y_true)))
-
-    results = {}
-    for si, scenario in enumerate(scenarios):
-        metrics = {k: float(v[si]) for k, v in md.items()}
-        if group_col and group_col in df_test.columns:
-            for k, v in _subject_metrics(df_test, group_col, y_true, probs[si]).items():
-                metrics[f"subject_{k}"] = v
-        results[scenario["name"]] = metrics
-    return results
+    return _assemble_scenario_results(packed, scenarios, df_test, group_col, y_true)
 
 
 def evaluate_model(model, df_test, mask_test, prep_info, config) -> Dict[str, Dict[str, float]]:

@@ -337,6 +337,7 @@ class DeviceHistGBDT:
         min_child_weight: float = 1e-3,
         random_state: Optional[int] = None,  # deterministic: accepted, unused
         hist_mode: Optional[str] = None,
+        class_weight: Optional[str] = None,  # None or "balanced" (lgbm semantics)
     ):
         if max_depth is None or max_depth <= 0:
             leaves = num_leaves or 31
@@ -360,6 +361,9 @@ class DeviceHistGBDT:
             raise ValueError(
                 f"unknown hist_mode {self.hist_mode!r} (use 'scatter' or 'onehot')"
             )
+        if class_weight not in (None, "balanced"):
+            raise ValueError(f"unsupported class_weight {class_weight!r}")
+        self.class_weight = class_weight
         self.edges_: Optional[List[np.ndarray]] = None
         self.trees_: Optional[Dict[str, np.ndarray]] = None
         self.base_score_: float = 0.0
@@ -373,6 +377,11 @@ class DeviceHistGBDT:
             if sample_weight is None
             else np.asarray(sample_weight, np.float32).reshape(-1)
         )
+        if getattr(self, "class_weight", None) == "balanced" and sample_weight is None:
+            # sklearn/lgbm formula: n_samples / (n_classes * bincount(y))
+            counts = np.bincount(y.astype(np.int64), minlength=2).astype(np.float64)
+            cw = len(y) / (2.0 * np.maximum(counts, 1.0))
+            w = cw[y.astype(np.int64)].astype(np.float32)
         self.edges_ = fit_bin_edges(X)
         bins = bin_features(X, self.edges_)
         self.base_score_ = compute_base_score(y, w)
@@ -422,9 +431,21 @@ class DeviceHistGBDT:
         tree-importance outputs on this backend — sklearn's HistGB has no
         feature_importances_ at all, so the reference's top-20 importance
         CSVs (reference scripts/ppmi_meaningful_suite.py) silently skip
-        on the in-image fallback chain."""
+        on the in-image fallback chain.
+
+        Raises AttributeError subclasses when unavailable so
+        ``hasattr(clf, "feature_importances_")`` duck-typing probes (the
+        suites' dispatch) degrade to the no-importances branch instead of
+        crashing."""
+        from sklearn.exceptions import NotFittedError  # ValueError+AttributeError
+
         if self.trees_ is None:
-            raise RuntimeError("DeviceHistGBDT is not fitted")
+            raise NotFittedError("DeviceHistGBDT is not fitted")
+        if "gain" not in self.trees_:
+            raise AttributeError(
+                "this DeviceHistGBDT artifact predates gain recording; "
+                "retrain to get feature_importances_"
+            )
         feat = self.trees_["feat"].ravel()
         thr = self.trees_["thr"].ravel()
         gain = self.trees_["gain"].ravel().astype(np.float64)

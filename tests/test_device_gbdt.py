@@ -362,7 +362,7 @@ def test_unimodal_gbdt_device_backend_roundtrip(tmp_path):
     np.testing.assert_allclose(m2.predict_proba(X), p, atol=0)
 
 
-def test_feature_importances_gain_based():
+def test_feature_importances_gain_based(monkeypatch):
     """Signal features dominate the gain-based importances; a pure-noise
     feature is near zero; the vector is a normalized distribution. Also
     pins suite integration: extract_importance dispatches on
@@ -379,10 +379,9 @@ def test_feature_importances_gain_based():
     assert np.all(imp >= 0)
     assert imp[1] > 0.25 and imp[3] > 0.15  # the two signal features
     assert imp[[0, 2, 4]].sum() < 0.2  # noise features stay small
-    import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    monkeypatch.syspath_prepend(str(Path(__file__).resolve().parents[1] / "scripts"))
     from ppmi_meaningful_suite import extract_importance
 
     got = extract_importance(m, "lgbm")
@@ -427,6 +426,35 @@ def test_boosted_tree_factory_device_backend(monkeypatch):
     from sklearn.ensemble import HistGradientBoostingClassifier
 
     assert isinstance(boosted_tree(seed=3), HistGradientBoostingClassifier)
+
+
+def test_class_weight_balanced_equals_manual_weights():
+    """class_weight='balanced' (the lgbm arm's setting, kept by the
+    device boosted_tree factory) must equal passing the sklearn balanced
+    weights explicitly."""
+    X, y = _make_data(seed=17, n=200, f=4)
+    y = (np.arange(len(y)) % 4 == 0).astype(np.float32)  # 25% positives
+    a = DeviceHistGBDT(n_estimators=8, max_depth=3, class_weight="balanced").fit(X, y)
+    counts = np.bincount(y.astype(int), minlength=2)
+    cw = len(y) / (2.0 * counts)
+    b = DeviceHistGBDT(n_estimators=8, max_depth=3).fit(
+        X, y, sample_weight=cw[y.astype(int)].astype(np.float32)
+    )
+    np.testing.assert_allclose(a.predict_proba(X), b.predict_proba(X), atol=0)
+    with pytest.raises(ValueError, match="class_weight"):
+        DeviceHistGBDT(class_weight="bogus")
+
+
+def test_unfitted_importances_are_hasattr_safe():
+    """hasattr probes (the suites' dispatch) must see False-ish, not a
+    crash, on unfitted models and on pre-gain artifacts."""
+    m = DeviceHistGBDT()
+    assert not hasattr(m, "feature_importances_")  # NotFittedError is AttributeError
+    X, y = _make_data(seed=18, n=100, f=4)
+    m.fit(X, y)
+    del m.trees_["gain"]  # simulate an artifact pickled before gain recording
+    assert not hasattr(m, "feature_importances_")
+    assert np.isfinite(m.predict_proba(X)).all()  # predict still works
 
 
 def test_hist_mode_validation_and_depth_clamp_warning(caplog):
