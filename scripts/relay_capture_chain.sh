@@ -1,10 +1,12 @@
 #!/bin/bash
 # Relay-outage capture chain: poll the axon relay until it answers, then
-# run the pending A/B transfer-mode comparison and a full bench capture.
-# Re-armable after VM resets (sessions G/H lost the previous instance).
+# run the pending TPU A/Bs (transfer modes, device GBDT) and a full bench
+# capture, in priority order. Re-armable after VM resets (sessions G/H
+# lost the previous instance; the 2026-08-19 reset lost session I's).
 # Usage: nohup bash scripts/relay_capture_chain.sh > /tmp/capture_chain.log 2>&1 &
 set -u
 cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
 probe() {
   timeout 90 python - <<'EOF' >/dev/null 2>&1
@@ -17,12 +19,15 @@ EOF
 echo "[chain] $(date -u +%H:%M:%S) polling relay..."
 until probe; do
   echo "[chain] $(date -u +%H:%M:%S) relay still down"
-  sleep 180
+  sleep 120
 done
-echo "[chain] $(date -u +%H:%M:%S) RELAY IS BACK — running A/B"
+echo "[chain] $(date -u +%H:%M:%S) RELAY IS BACK — transfer-mode A/B"
 
-timeout 2400 python scripts/ab_stacked_put.py > /tmp/ab_f16.txt 2>&1
-echo "[chain] $(date -u +%H:%M:%S) A/B done (rc=$?) — running bench"
+timeout 1200 python scripts/ab_stacked_put.py 4 > /tmp/ab_f16.txt 2>&1
+echo "[chain] $(date -u +%H:%M:%S) transfer A/B done (rc=$?) — GBDT A/B"
+
+timeout 1500 python scripts/ab_gbdt_tpu.py > /tmp/gbdt_ab.txt 2>&1
+echo "[chain] $(date -u +%H:%M:%S) GBDT A/B done (rc=$?) — bench"
 
 timeout 3000 python bench.py > /tmp/bench_r3.json 2>/tmp/bench_r3.err
 echo "[chain] $(date -u +%H:%M:%S) bench done (rc=$?)"
