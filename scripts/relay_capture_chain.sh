@@ -8,11 +8,15 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
+# Probe timeout must cover a COLD-cache remote compile (~3 min observed
+# in bad weather); 90 s killed mid-compile forever (and the old assert
+# used the wrong closed form: (8,128) ones -> (x @ x.T).sum() is
+# 8*8*128, not 8*128*128 — the probe could never pass).
 probe() {
-  timeout 90 python - <<'EOF' >/dev/null 2>&1
+  timeout 300 python - <<'EOF' >/dev/null 2>&1
 import jax, numpy as np
 x = jax.device_put(np.ones((8, 128), np.float32))
-assert float((x @ x.T).sum()) == 8 * 128 * 128
+assert float((x @ x.T).sum()) == 8 * 8 * 128
 EOF
 }
 
