@@ -1,12 +1,10 @@
 """A/B the embed pipeline's host->device transfer strategy on real hardware.
 
-Three candidates for shipping a flush's subjects to the device
+Candidates for shipping a flush's subjects to the device
 (imaging/pipeline.py, slices mode):
 
 - per-subject (default): each subject is jax.device_put as host prep
   finishes (earliest possible transfer start; W relay ops + W-ary dispatch)
-- stacked (PD_FUSION_STACKED_PUT=1): one host stack + ONE async
-  device_put per flush (~2 relay ops per flush)
 - grouped (PD_FUSION_PUT_GROUP=g): one [g, L, h, w] device_put per
   g-subject block (W/g + 1 relay ops, g-granular transfer/prep overlap)
 
@@ -14,6 +12,11 @@ plus an orthogonal wire-width knob:
 
 - f16 (PD_FUSION_PUT_DTYPE=f16): per-subject puts at half the bytes
   (payloads widen to f32 on device; embeddings agree to ~1e-3)
+
+A fully-stacked one-put-per-flush mode was a 5th arm in the 2026-08-19
+capture: min 4.07s vs per_subject 2.76s and the worst sample of all
+five arms — it lost on both good and bad relay samples and was removed
+from the pipeline.
 
 Runs the 16-volume bench embed leg N times per mode, interleaved
 A/B/C/D so relay-weather drift hits all arms equally, and prints
@@ -28,7 +31,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 MODES = {
     "per_subject": {},
-    "stacked": {"PD_FUSION_STACKED_PUT": "1"},
     "grouped4": {"PD_FUSION_PUT_GROUP": "4"},
     "f16": {"PD_FUSION_PUT_DTYPE": "f16"},
     "f16_grouped4": {"PD_FUSION_PUT_DTYPE": "f16", "PD_FUSION_PUT_GROUP": "4"},
@@ -36,7 +38,7 @@ MODES = {
 
 
 def _set_mode(env):
-    for k in ("PD_FUSION_STACKED_PUT", "PD_FUSION_PUT_GROUP", "PD_FUSION_PUT_DTYPE"):
+    for k in ("PD_FUSION_PUT_GROUP", "PD_FUSION_PUT_DTYPE"):
         os.environ.pop(k, None)
     os.environ.update(env)
 

@@ -423,26 +423,20 @@ def run_resnet_embedding_pipeline(
     h_dim, w_dim = _per_axis_dims[axes_t[0]]
 
     raw_mode = bool(os.environ.get("PD_FUSION_DEVICE_PREP")) and native.available()
-    # PD_FUSION_STACKED_PUT=1: instead of device_put-ing every subject as
-    # host prep finishes (W buffers per flush -> W relay transfer ops +
-    # a W-ary dispatch), stack the flush's subjects into ONE host array
-    # and ship it with a single async device_put. Cuts relay operations
-    # per 16-subject flush from ~17 to ~2 — matters on bad-relay days
-    # where each op carries tens of ms of RTT overhead; the single
-    # transfer still overlaps the next flush's host prep. Default OFF:
-    # interleaved A/B (scripts/ab_stacked_put.py, 16-vol leg, good-relay
-    # session) measured per-subject min 1.84s / median 1.92s vs stacked
-    # min 2.28s / median 2.33s — starting transfers as each subject
-    # finishes prep beats fewer relay ops here. Keep as a knob for
-    # bad-relay days where per-op RTT dominates.
-    stacked_put = bool(os.environ.get("PD_FUSION_STACKED_PUT")) and not raw_mode
-    # PD_FUSION_PUT_GROUP=g: middle ground between the two transfer modes
-    # above — ship GROUPS of g subjects as one [g, L, h, w] device_put
-    # each. Cuts relay ops per 16-subject flush from ~17 to ~B/g + 1
-    # while keeping g-granular transfer/prep overlap (stacked mode gives
-    # up all overlap; per-subject gives up nothing but pays per-op RTT).
+    # Transfer modes, chosen from a live 5-arm A/B on the real TPU relay
+    # (scripts/ab_stacked_put.py, 2026-08-19, 16-vol leg, 4 interleaved
+    # reps): per_subject min 2.76s / worst 9.78s; grouped4 min 3.12s /
+    # worst 4.86s; f16 min 2.24s; f16+grouped4 min 2.21s / median 2.43s.
+    # A fully-stacked one-put-per-flush mode was also measured (min
+    # 4.07s, worst 11.2s — loses on BOTH good and bad relay samples, i.e.
+    # giving up transfer/prep overlap costs more than the saved per-op
+    # RTT) and was deleted.
+    # PD_FUSION_PUT_GROUP=g: ship GROUPS of g subjects as one
+    # [g, L, h, w] device_put each. Cuts relay ops per 16-subject flush
+    # from ~17 to ~B/g + 1 while keeping g-granular transfer/prep
+    # overlap (per-subject gives up nothing but pays per-op RTT).
     put_group = 0
-    if not raw_mode and not stacked_put:
+    if not raw_mode:
         try:
             put_group = max(0, int(os.environ.get("PD_FUSION_PUT_GROUP", "0")))
         except ValueError:
@@ -453,7 +447,8 @@ def run_resnet_embedding_pipeline(
     # float16 (half the wire bytes; the slices are [0,1]-normalized so
     # f16's 1e-3 relative eps is far below the backbone's bf16 compute
     # noise) and widen to f32 on device before any math. Orthogonal to
-    # the three transfer modes above. Off by default pending an A/B win.
+    # the grouping knob above. Won the 2026-08-19 A/B (min 2.24s vs f32
+    # per-subject 2.76s); bench.py runs it as an arm and quotes the min.
     put_dtype = None
     if not raw_mode and os.environ.get("PD_FUSION_PUT_DTYPE", "") in ("f16", "float16"):
         put_dtype = np.float16
@@ -583,27 +578,6 @@ def run_resnet_embedding_pipeline(
                     )
                     emb = e if emb is None else emb + e
                 emb = emb / tta
-        elif stacked_put:
-            # one host stack, one async relay transfer for the whole flush
-            stack_np = np.zeros((W,) + batch_payload[0].shape, batch_payload[0].dtype)
-            for j, v in enumerate(batch_payload):
-                stack_np[j] = v
-            stack = jax.device_put(stack_np)
-            if tta <= 1:
-                emb = embed_slices_batch(
-                    backbone_params, stack, mean, std, arch, input_size, per_slice,
-                    compute_dtype,
-                )
-            else:
-                emb = None
-                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
-                    e = embed_slices_batch_augmented(
-                        backbone_params, stack, mean, std, jnp.asarray(angle),
-                        jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
-                        jnp.asarray(noise), arch, input_size, per_slice,
-                    )
-                    emb = e if emb is None else emb + e
-                emb = emb / tta
         else:
             # subjects (or [g,...] group blocks) were device_put as the
             # prefetcher yielded them — pad the tuple to the program
@@ -659,7 +633,7 @@ def run_resnet_embedding_pipeline(
             if len(pending) == put_group:
                 put_pending()
         else:
-            if not raw_mode and not stacked_put:
+            if not raw_mode:
                 # start the host->device transfer NOW (async): it rides the
                 # relay while the prefetch threads prep the next subjects
                 payload = jax.device_put(payload)

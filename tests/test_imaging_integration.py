@@ -407,19 +407,14 @@ def test_pipeline_tail_split_flush_equivalence(synthetic_dataset, monkeypatch):
     single = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
     monkeypatch.setattr(pipeline, "SUBJECTS_PER_CALL", 8)
     split = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
-    # stacked-put transfer mode (one host stack + one device_put per
-    # flush instead of per-subject puts) must be value-identical too
-    monkeypatch.setenv("PD_FUSION_STACKED_PUT", "1")
-    stacked = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
     # grouped-put mode ([g, ...] blocks, one put per group; 11 subjects
-    # at g=2 exercise the incomplete-final-group padding) likewise
-    monkeypatch.delenv("PD_FUSION_STACKED_PUT")
+    # at g=2 exercise the incomplete-final-group padding) must be
+    # value-identical
     monkeypatch.setenv("PD_FUSION_PUT_GROUP", "2")
     grouped = pipeline.run_resnet_embedding_pipeline(paths, sids, params, mean, std, **kw)
-    assert len(single) == len(split) == len(stacked) == len(grouped) == 11
-    for s, t, u, v in zip(single, split, stacked, grouped):
+    assert len(single) == len(split) == len(grouped) == 11
+    for s, t, v in zip(single, split, grouped):
         np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=5e-5, rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(t), np.asarray(u), atol=5e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(t), np.asarray(v), atol=5e-5, rtol=1e-5)
     # f16 wire mode quantizes the [0,1] slice payloads to half precision
     # (eps ~1e-3) before the relay; embeddings must agree within a
