@@ -71,27 +71,30 @@ def main():
                 walls.append(time.time() - t0)
             print(f"N={n} device/{mode}: min {min(walls):.3f}s  {walls}", flush=True)
 
-        # vmapped 5-fold arm (scatter mode)
+        # vmapped 5-fold arm, both lowerings (2026-08-19 capture ran
+        # scatter only: 50.2s at N=20000 vs 5x-sequential-onehot 4.25s —
+        # the parallel CV engine's routing decision needs the onehot row)
         K = 5
         fold = np.arange(n) % K
         ws = jnp.asarray(np.stack([(fold != i).astype(np.float32) for i in range(K)]))
         bs = jnp.broadcast_to(bins, (K,) + bins.shape)
         ys = jnp.broadcast_to(yj, (K, n))
         bases = jnp.zeros(K, jnp.float32)
-        vtrain = jax.jit(
-            lambda b, y2, w2, b0: jax.vmap(
-                lambda bb, yy, ww, bb0: train_gbdt(bb, yy, ww, bb0, **hp)
-            )(b, y2, w2, b0)
-        )
-        trees = vtrain(bs, ys, ws, bases)
-        jax.tree_util.tree_leaves(trees)[0].block_until_ready()
-        walls = []
-        for _ in range(reps):
-            t0 = time.time()
+        for mode in ("scatter", "onehot"):
+            vtrain = jax.jit(
+                lambda b, y2, w2, b0, m=mode: jax.vmap(
+                    lambda bb, yy, ww, bb0: train_gbdt(bb, yy, ww, bb0, hist_mode=m, **hp)
+                )(b, y2, w2, b0)
+            )
             trees = vtrain(bs, ys, ws, bases)
-            np.asarray(jax.tree_util.tree_leaves(trees)[0])
-            walls.append(time.time() - t0)
-        print(f"N={n} device/vmapped-5-fold: min {min(walls):.3f}s", flush=True)
+            jax.tree_util.tree_leaves(trees)[0].block_until_ready()
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                trees = vtrain(bs, ys, ws, bases)
+                np.asarray(jax.tree_util.tree_leaves(trees)[0])
+                walls.append(time.time() - t0)
+            print(f"N={n} device/vmapped-5-fold/{mode}: min {min(walls):.3f}s", flush=True)
 
         walls = []
         for _ in range(max(1, reps - 1)):

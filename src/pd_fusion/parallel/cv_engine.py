@@ -153,6 +153,23 @@ def _cv_program_moe(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va, y_va, w_va
     return dev_metrics.pack_metrics_and_probs(md, probs)
 
 
+@partial(jax.jit, static_argnames=("epochs", "weight_decay"))
+def _cv_program_moe_probs(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va,
+                          x_cal, m_cal, lr, epochs, weight_decay):
+    """Calibrated-MoE variant: [K, S*Nv + Nc] buffer of raw scenario probs
+    then calibration-set probs (un-zeroed inputs, natural routing masks —
+    the sequential CalibratedModel.fit feeds MoEModel.predict_proba the
+    imputed val dict with natural masks). Host isotonic follows, layout
+    mirrors _probs_with_calib."""
+    trained = _moe_vmapped(params_stack, x_tr, m_tr, y_tr, w_tr, lr, epochs, weight_decay)
+    probs_scen = jax.vmap(
+        lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms)
+    )(trained, x_va, m_va)
+    probs_cal = jax.vmap(moe_apply)(trained, x_cal, m_cal)
+    K = probs_scen.shape[0]
+    return jnp.concatenate([probs_scen.reshape(K, -1), probs_cal], axis=1)
+
+
 def _packed_mlp_eval(trained, Xs, yv, wv):
     """predict + all metrics + pack into ONE buffer: a single device
     program whose single output array is fetched with one relay round
@@ -396,8 +413,6 @@ def _shard_cv_inputs(mesh, params_stack, X, y, w, keys):
 def supports_parallel_cv(config) -> bool:
     if config.get("parallel_cv", True) is False:
         return False
-    if config.get("calibrate", False) and config.get("model_type") == "moe":
-        return False  # calibrated MoE keeps the sequential per-fold wrap
     if config.get("model_type") == "unimodal_gbdt":
         return gbdt_device_backend(config)
     return config.get("model_type") in PARALLEL_CV_FAMILIES
@@ -428,7 +443,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
     K = len(folds)
 
     # ---- calibration plumbing (isotonic, reference calibrate.py:7-56) ----
-    do_calibrate = bool(config.get("calibrate", False)) and model_type != "moe"
+    do_calibrate = bool(config.get("calibrate", False))
     nested = do_calibrate and bool(config.get("nested_calibration", False))
     calib_dfs: List = [None] * K
     if nested:
@@ -473,6 +488,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
 
     Xtr_list, ytr_list, Xva_scen_list, yva_list = [], [], [], []
     moe_fold_data = []
+    moe_cal_data = []  # per-fold (Xd_cal dict, cal masks dict), calibrated MoE only
     Xcal_list, ycal_list = [], []  # calibration-set inputs (do_calibrate only)
 
     for fi, (train_df, val_df) in enumerate(folds):
@@ -496,6 +512,29 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
             moe_fold_data.append((Xd_tr, Xd_va, dims, train_masks, val_masks, scal))
             ytr_list.append(train_df[TARGET_COL].values.astype(np.float32))
             yva_list.append(val_df[TARGET_COL].values.astype(np.float32))
+            if do_calibrate:
+                # calibration inputs mirror the sequential path
+                # (training/train.py: calibrate_X_val = X_va_dict,
+                # calibrate_masks = natural val masks): imputed
+                # per-modality matrices, UN-zeroed, natural routing
+                # masks; nested uses the carved calib split instead
+                if nested:
+                    calib_df = calib_dfs[fi]
+                    Xd_cal = {
+                        mod: preprocess_features(
+                            calib_df,
+                            get_modality_feature_cols(train_df, mod),
+                            None,
+                            scal[mod],
+                        )[0]
+                        for mod in dims
+                    }
+                    cmask = get_subset_masks(masks, calib_df.index)
+                    ycal_list.append(calib_df[TARGET_COL].values.astype(np.float32))
+                else:
+                    Xd_cal, cmask = Xd_va, val_masks
+                    ycal_list.append(yva_list[-1])
+                moe_cal_data.append((Xd_cal, cmask))
             continue
 
         X_tr, _, scaler = preprocess_features(train_df, feat_cols)
@@ -551,6 +590,7 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
         return _run_parallel_cv_moe(
             config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds,
             fold_keys=fold_keys,
+            cal_data=(moe_cal_data, ycal_list) if do_calibrate else None,
         )
 
     # ---- stack + train ----------------------------------------------------
@@ -724,9 +764,17 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
 
 
 def _run_parallel_cv_moe(
-    config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds, fold_keys=None
+    config, moe_fold_data, ytr_list, yva_list, scenarios, group_col, folds,
+    fold_keys=None, cal_data=None,
 ):
-    """Stacked MoE CV: [K, M, N, Fmax] inputs, vmapped stacked-expert train."""
+    """Stacked MoE CV: [K, M, N, Fmax] inputs, vmapped stacked-expert train.
+
+    ``cal_data`` = ((per-fold (Xd_cal, cal_masks)), ycal_list) switches on
+    the calibrated flow: one program trains all folds and returns raw
+    scenario + calibration-set probs packed, host isotonic per fold maps
+    the scenario probs, and a second program computes all K x S metric
+    sets from the calibrated probs (2 dispatches + 2 fetches total — the
+    same shape as the MLP families' calibrated path)."""
     params_cfg = config["params"]
     K = len(moe_fold_data)
     dims = moe_fold_data[0][2]
@@ -784,22 +832,56 @@ def _run_parallel_cv_moe(
         tuple(params_cfg["router_hidden_dims"]),
     )
 
-    packed = np.asarray(
-        _cv_program_moe(
-            params_stack,
-            jnp.asarray(x_tr),
-            jnp.asarray(m_tr),
-            jnp.asarray(y_tr),
-            jnp.asarray(w_tr),
-            jnp.asarray(x_va),
-            jnp.asarray(m_va),
-            jnp.asarray(y_va),
-            jnp.asarray(w_va),
-            float(params_cfg["lr"]),
-            int(params_cfg["epochs"]),
-            float(params_cfg.get("weight_decay", 0.0)),
+    hp = (
+        float(params_cfg["lr"]),
+        int(params_cfg["epochs"]),
+        float(params_cfg.get("weight_decay", 0.0)),
+    )
+    train_args = (
+        params_stack,
+        jnp.asarray(x_tr),
+        jnp.asarray(m_tr),
+        jnp.asarray(y_tr),
+        jnp.asarray(w_tr),
+    )
+    if cal_data is not None:
+        moe_cal_data, ycal_list = cal_data
+        n_cal = [len(y) for y in ycal_list]
+        nc_max = max(n_cal)
+        x_cal = np.zeros((K, M, nc_max, f_max), np.float32)
+        m_cal = np.zeros((K, nc_max, M), np.float32)
+        for i, (Xd_cal, cmask) in enumerate(moe_cal_data):
+            nc = n_cal[i]
+            x_cal[i, :, :nc] = stack_dict(Xd_cal, nc)
+            m_cal[i, :nc] = np.stack([cmask[m] for m in mods], axis=1)
+        buf = np.asarray(
+            _cv_program_moe_probs(
+                *train_args, jnp.asarray(x_va), jnp.asarray(m_va),
+                jnp.asarray(x_cal), jnp.asarray(m_cal), *hp,
+            )
         )
-    )  # ONE dispatch + ONE fetch for the whole MoE CV
+        raw_probs = buf[:, : S * n_va_max].reshape(K, S, n_va_max)
+        cal_probs = buf[:, S * n_va_max:]
+        calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
+        calibrated = np.empty_like(raw_probs)
+        for i, iso in enumerate(calibrators):
+            calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, n_va_max)
+        packed = np.asarray(
+            _metrics_from_probs_packed(
+                jnp.asarray(calibrated), jnp.asarray(y_va), jnp.asarray(w_va)
+            )
+        )
+    else:
+        packed = np.asarray(
+            _cv_program_moe(
+                *train_args,
+                jnp.asarray(x_va),
+                jnp.asarray(m_va),
+                jnp.asarray(y_va),
+                jnp.asarray(w_va),
+                *hp,
+            )
+        )  # ONE dispatch + ONE fetch for the whole MoE CV
     md, probs = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, n_va_max))
 
     metrics_all, fold_preds = [], []
@@ -872,6 +954,7 @@ def _run_parallel_cv_gbdt(
         bin_features,
         compute_base_score,
         fit_bin_edges,
+        resolve_hist_mode,
     )
 
     params_cfg = {k: v for k, v in config["params"].items() if k != "backend"}
@@ -947,19 +1030,43 @@ def _run_parallel_cv_gbdt(
         lam=proto.reg_lambda,
         mcw=proto.min_child_weight,
         mcs=proto.min_child_samples,
-        hist_mode=proto.hist_mode,
+        hist_mode=resolve_hist_mode(proto.hist_mode),
     )
     base_arr = jnp.asarray(np.array(bases, np.float32))
+
+    # multi-chip: shard the fold and train-batch axes over the
+    # ("fold", "data") mesh like the MLP families — the per-level
+    # histogram reductions then psum over the data axis (sharded ==
+    # single-device equivalence asserted in __graft_entry__.dryrun_
+    # multichip and tests/test_multichip.py)
+    bins_tr_j, y_tr_j, w_tr_j = jnp.asarray(bins_tr), jnp.asarray(y_tr), jnp.asarray(w_tr)
+    bins_va_j = jnp.asarray(bins_va)
+    mesh = _cv_mesh(K, n_max) if config.get("cv_mesh", "auto") != "off" else None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fold_batch = NamedSharding(mesh, P("fold", "data"))
+        fold_only = NamedSharding(mesh, P("fold"))
+        bins_tr_j = jax.device_put(bins_tr_j, fold_batch)
+        y_tr_j = jax.device_put(y_tr_j, fold_batch)
+        w_tr_j = jax.device_put(w_tr_j, fold_batch)
+        base_arr = jax.device_put(base_arr, fold_only)
+        bins_va_j = jax.device_put(bins_va_j, fold_only)
+        logger.info(
+            f"parallel GBDT CV sharded over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+        )
 
     if do_calibrate:
         nc_max = max(len(y) for y in ycal_list)
         bins_cal = np.zeros((K, nc_max, f_dim), np.int32)
         for i, b in enumerate(bins_cal_list):
             bins_cal[i, : b.shape[0]] = b
+        bins_cal_j = jnp.asarray(bins_cal)
+        if mesh is not None:
+            bins_cal_j = jax.device_put(bins_cal_j, fold_only)
         buf = np.asarray(
             _cv_program_gbdt_probs(
-                jnp.asarray(bins_tr), jnp.asarray(y_tr), jnp.asarray(w_tr), base_arr,
-                jnp.asarray(bins_va), jnp.asarray(bins_cal), **hp,
+                bins_tr_j, y_tr_j, w_tr_j, base_arr, bins_va_j, bins_cal_j, **hp,
             )
         )
         raw_probs = buf[:, : S * nv_max].reshape(K, S, nv_max)
@@ -975,10 +1082,13 @@ def _run_parallel_cv_gbdt(
             )
         )
     else:
+        yv_j, wv_j = jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+        if mesh is not None:
+            yv_j = jax.device_put(yv_j, fold_only)
+            wv_j = jax.device_put(wv_j, fold_only)
         packed = np.asarray(
             _cv_program_gbdt(
-                jnp.asarray(bins_tr), jnp.asarray(y_tr), jnp.asarray(w_tr), base_arr,
-                jnp.asarray(bins_va), jnp.asarray(yv_rep), jnp.asarray(wv_rep), **hp,
+                bins_tr_j, y_tr_j, w_tr_j, base_arr, bins_va_j, yv_j, wv_j, **hp,
             )
         )
     md, probs = dev_metrics.unpack_metrics_and_probs(packed, (K, S), (K, S, nv_max))

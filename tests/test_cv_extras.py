@@ -337,6 +337,55 @@ def test_parallel_calibrated_cv_matches_sequential(cleanup_run, nested):
                 )
 
 
+@pytest.mark.parametrize("nested", [False, True])
+def test_parallel_calibrated_moe_cv_matches_sequential(cleanup_run, nested):
+    """VERDICT r3 #5: calibrated MoE — the last family x option combo —
+    routes through the one-program parallel CV engine (packed raw
+    scenario + calibration probs -> host isotonic -> packed metrics).
+    Same-seed parallel vs sequential per-fold metrics must agree; see
+    test_parallel_calibrated_cv_matches_sequential for the tolerance
+    rationale (isotonic tie-quantization under lowering-level ulp drift)."""
+    import yaml as _yaml
+
+    from pd_fusion.experiments.run_experiment import run_cv_pipeline
+
+    base = {
+        "model_type": "moe",
+        "calibrate": True,
+        "nested_calibration": nested,
+        "calibration_split": 0.25,
+        "params": {"expert_hidden_dims": [16], "router_hidden_dims": [8],
+                   "lr": 0.005, "epochs": 15},
+    }
+    runs = {}
+    import jax as _jax
+
+    for mode, flag in (("par", True), ("seq", False)):
+        run_id = f"pytest_moe_cal_parity_{mode}_{int(nested)}"
+        cleanup_run.append(run_id)
+        with _jax.default_matmul_precision("highest"):
+            agg = run_cv_pipeline(
+                "configs/quickstart.yaml",
+                k=5,
+                synthetic=True,
+                overrides={**base, "output_dir": run_id, "parallel_cv": flag},
+            )
+        folds = [
+            _yaml.safe_load(open(RUNS_DIR / run_id / f"results_fold_{i}.yaml"))
+            for i in (1, 2, 3, 4, 5)
+        ]
+        runs[mode] = (agg, folds)
+
+    tol = 2e-3 if _jax.default_backend() == "cpu" else 1e-2
+    for i in range(5):
+        pf, sf = runs["par"][1][i], runs["seq"][1][i]
+        for scen in ("full_observation", "no_mri", "clinical_only"):
+            for metric in ("roc_auc", "ece", "brier_score"):
+                assert pf[scen][metric] == pytest.approx(sf[scen][metric], abs=tol), (
+                    i, scen, metric, pf[scen][metric], sf[scen][metric],
+                )
+
+
 def test_parallel_mil_cv_matches_sequential(cleanup_run, monkeypatch):
     """VERDICT r2 #3: precomputed-bag MIL runs through the one-program
     parallel engine. With equal-sized folds (N % K == 0) the vmapped

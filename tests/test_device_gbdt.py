@@ -468,6 +468,26 @@ def test_hist_mode_validation_and_depth_clamp_warning(caplog):
     assert any("clamped" in r.message for r in caplog.records)
 
 
+def test_hist_mode_auto_resolves_per_backend(monkeypatch):
+    """Default hist_mode is 'auto': onehot on TPU (live A/B 2026-08-19:
+    4.3-5.1x scatter), scatter elsewhere; explicit modes pass through and
+    bad values raise."""
+    import jax
+
+    from pd_fusion.nn.gbdt import resolve_hist_mode
+
+    assert DeviceHistGBDT().hist_mode == "auto"
+    assert resolve_hist_mode("scatter") == "scatter"
+    assert resolve_hist_mode("onehot") == "onehot"
+    with pytest.raises(ValueError, match="hist_mode"):
+        resolve_hist_mode("one_hot")
+    expected = "onehot" if jax.default_backend() == "tpu" else "scatter"
+    for alias in (None, "", "auto"):
+        assert resolve_hist_mode(alias) == expected
+    monkeypatch.setenv("PD_FUSION_GBDT_HIST", "onehot")
+    assert DeviceHistGBDT().hist_mode == "onehot"
+
+
 def test_env_backend_selection(monkeypatch):
     from pd_fusion.models import unimodal_gbdt as U
 
@@ -488,7 +508,17 @@ def test_parallel_gbdt_cv_matches_sequential(calibrate, tmp_path):
     (test_cv_extras): isotonic regression quantizes probs into ties, so
     ulp-level prob differences between the two lowerings flip block
     boundaries and step AUC by ~2e-3 (measured 0.0022 at fold 4); a real
-    routing/binning/calibration bug shifts AUC far more."""
+    routing/binning/calibration bug shifts AUC far more.
+
+    cv_mesh is forced OFF: the test conftest exposes 8 virtual CPU
+    devices, and on a mesh the histogram reductions psum over the data
+    axis — cross-shard reduction order ulp-shifts gains, and exact gain
+    ties being STRUCTURAL in histogram boosting (see module docstring
+    lessons), a near-tie argmax can legitimately flip and fork the
+    ensemble (measured: fold-1 AUC 0.772 vs 0.758). Mesh-on vs mesh-off
+    equivalence has its own banded test
+    (test_multichip.py::test_parallel_gbdt_cv_shards_over_virtual_mesh);
+    THIS test pins exact same-program parallel-vs-sequential semantics."""
     import jax as _jax
     import shutil as _shutil
     import yaml as _yaml
@@ -500,6 +530,7 @@ def test_parallel_gbdt_cv_matches_sequential(calibrate, tmp_path):
         "model_type": "unimodal_gbdt",
         "modality": "clinical",
         "calibrate": calibrate,
+        "cv_mesh": "off",
         "params": {
             "backend": "device",
             "n_estimators": 30,

@@ -527,30 +527,38 @@ def test_mil_model_val_bag_longer_than_max_len_widens_not_truncates():
            "attn_dim": 8, "dropout": 0.0, "lr": 1e-2, "batch_size": 16,
            "max_len": 8}
 
-    set_seed(123)
-    model = MilAttentionModel(d, cfg)
-    model.train(bags, y, val_data=(vbags, yv))
+    # HIGHEST matmul precision: on TPU the default f32 matmul runs bf16
+    # MXU passes, and the model's scan program vs the oracle's fuse/tile
+    # differently — 25 chained Adam epochs amplified that to 5.7e-3 on
+    # the 5e-3 band (r4 live-TPU suite run). The claim under test is
+    # val-pad widening semantics, so pin true-f32 matmuls.
+    import jax as _jax
 
-    # oracle with the model's exact key schedule and the UNtruncated val
-    set_seed(123)
-    k_init, k_train = fresh_key(), fresh_key()
-    p0 = mil_init(k_init, d, 16, 8, False)
-    X, M = pad_bags(bags, 8)
-    Xv16, Mv16 = pad_bags(vbags, 16)
-    wv = np.ones(8, np.float32)
-    o_wide, s_wide = _mil_oracle(
-        p0, X, M, y, Xv16, Mv16, yv, wv, k_train, 1e-2, np.float32(1.0),
-        25, 16, False, 0.0, 2,
-    )
-    _assert_tree_close(model.net_params, o_wide, atol=5e-3)
+    with _jax.default_matmul_precision("highest"):
+        set_seed(123)
+        model = MilAttentionModel(d, cfg)
+        model.train(bags, y, val_data=(vbags, yv))
 
-    # discrimination: the truncated-val oracle (pre-fix behavior) stops
-    # at a different epoch with clearly different params
-    Xv8, Mv8 = pad_bags(vbags, 8)
-    o_trun, s_trun = _mil_oracle(
-        p0, X, M, y, Xv8, Mv8, yv, wv, k_train, 1e-2, np.float32(1.0),
-        25, 16, False, 0.0, 2,
-    )
+        # oracle with the model's exact key schedule and the UNtruncated val
+        set_seed(123)
+        k_init, k_train = fresh_key(), fresh_key()
+        p0 = mil_init(k_init, d, 16, 8, False)
+        X, M = pad_bags(bags, 8)
+        Xv16, Mv16 = pad_bags(vbags, 16)
+        wv = np.ones(8, np.float32)
+        o_wide, s_wide = _mil_oracle(
+            p0, X, M, y, Xv16, Mv16, yv, wv, k_train, 1e-2, np.float32(1.0),
+            25, 16, False, 0.0, 2,
+        )
+        _assert_tree_close(model.net_params, o_wide, atol=5e-3)
+
+        # discrimination: the truncated-val oracle (pre-fix behavior) stops
+        # at a different epoch with clearly different params
+        Xv8, Mv8 = pad_bags(vbags, 8)
+        o_trun, s_trun = _mil_oracle(
+            p0, X, M, y, Xv8, Mv8, yv, wv, k_train, 1e-2, np.float32(1.0),
+            25, 16, False, 0.0, 2,
+        )
     assert s_wide != s_trun
     gap = max(
         float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
