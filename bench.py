@@ -640,6 +640,15 @@ def main():
     embed_wall = min(
         _retry_transient(run_embed_once, paths, params, mean, std) for _ in range(5)
     )
+    # consume-loop attribution of the LAST base rep (VERDICT r3 #7: give
+    # the embed residual a stage-level owner): iterator wait = host prep
+    # not hidden by overlap; device_put = relay serialization; dispatch =
+    # flush trace/dispatch; final_fetch = the one readback + exposed tail
+    from pd_fusion.imaging import pipeline as _pl
+
+    consume_prof = {
+        f"embed_consume_{k}": round(v, 3) for k, v in _pl.LAST_PROFILE.items()
+    }
     # record the leg as soon as the base arm lands so a watchdog deadline
     # mid-arm cannot lose it; later arms only improve the number
     _record_partial(
@@ -682,6 +691,7 @@ def main():
         stages["embed_residual_s"] = round(
             max(embed_wall - stages.get("host_prep_s", 0.0) - stages.get("device_s", 0.0), 0.0), 3
         )
+    stages.update(consume_prof)
     _record_partial(
         embed_subj_per_sec=round(N_EMBED / embed_wall, 2),
         embed_speedup=round((N_EMBED / embed_wall) / REF_EMBED_RATE, 2),

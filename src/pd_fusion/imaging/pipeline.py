@@ -43,6 +43,7 @@ TTA, device-prep mode). PD_FUSION_NO_TAIL_SPLIT=1 disables it.
 """
 import concurrent.futures as cf
 import hashlib
+import time
 from functools import partial
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -59,6 +60,17 @@ from pd_fusion.ops.image import (
     slices_to_imagenet_batch,
     take_slices,
 )
+
+
+# Consume-loop attribution from the most recent run_resnet_embedding_
+# pipeline call (VERDICT r3 #7: the bench's embed residual — wall minus
+# measured host-prep minus measured device program — needs a stage-level
+# owner). Keys: iter_wait_s (blocked on the prefetch iterator, i.e. host
+# prep not yet overlapped away), device_put_s (host-side relay
+# serialization of subject payloads), dispatch_s (flush() trace-lookup +
+# async dispatch + TTA param synthesis), final_fetch_s (the one
+# device->host readback, which also absorbs the exposed tail program).
+LAST_PROFILE: dict = {}
 
 
 def load_volume(path, target_shape=(96, 96, 96)) -> np.ndarray:
@@ -609,6 +621,8 @@ def run_resnet_embedding_pipeline(
 
     batch_idx, batch_payload = [], []
     pending: List[np.ndarray] = []  # host payloads awaiting a grouped put
+    prof = {"iter_wait_s": 0.0, "device_put_s": 0.0, "dispatch_s": 0.0,
+            "final_fetch_s": 0.0}
 
     def put_pending(final: bool = False):
         # ship the pending host payloads as ONE [g, L, h, w] transfer;
@@ -619,14 +633,28 @@ def run_resnet_embedding_pipeline(
         blk = pending if not final or len(pending) == put_group else (
             pending + [pending[0]] * (put_group - len(pending))
         )
+        t0 = time.perf_counter()
         batch_payload.append(jax.device_put(np.stack(blk)))
+        prof["device_put_s"] += time.perf_counter() - t0
         pending.clear()
 
+    def timed_flush(bi, bp):
+        t0 = time.perf_counter()
+        flush(bi, bp)
+        prof["dispatch_s"] += time.perf_counter() - t0
+
     consumed = 0
-    for i, payload in it:
+    it2 = iter(it)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            i, payload = next(it2)
+        except StopIteration:
+            break
+        prof["iter_wait_s"] += time.perf_counter() - t0
         # raw mode batches must share a raw shape (static-shape programs)
         if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
-            flush(batch_idx, batch_payload)
+            timed_flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
         if put_group:
             pending.append(payload)
@@ -636,7 +664,9 @@ def run_resnet_embedding_pipeline(
             if not raw_mode:
                 # start the host->device transfer NOW (async): it rides the
                 # relay while the prefetch threads prep the next subjects
+                t0 = time.perf_counter()
                 payload = jax.device_put(payload)
+                prof["device_put_s"] += time.perf_counter() - t0
             batch_payload.append(payload)
         batch_idx.append(i)
         consumed += 1
@@ -645,11 +675,11 @@ def run_resnet_embedding_pipeline(
         # flush's device time hides under their host prep
         if len(batch_idx) == B or (tail_w and n - consumed == tail_w):
             put_pending(final=True)
-            flush(batch_idx, batch_payload)
+            timed_flush(batch_idx, batch_payload)
             batch_idx, batch_payload = [], []
     if batch_idx:
         put_pending(final=True)
-        flush(batch_idx, batch_payload)
+        timed_flush(batch_idx, batch_payload)
 
     # single device-side concat + ONE host fetch for every embedding.
     # The concat program's arity is the chunk count; pad to the next
@@ -657,14 +687,19 @@ def run_resnet_embedding_pipeline(
     # most log2(n/B) concat variants ever compile, not one per dataset
     # size.
     results: List[Optional[np.ndarray]] = [None] * n
+    LAST_PROFILE.clear()
+    LAST_PROFILE.update(prof)
     if not flush_embs:
         return results
+    t0 = time.perf_counter()
     if len(flush_embs) > 1:
         P = 1 << (len(flush_embs) - 1).bit_length()
         padded = tuple(flush_embs) + (flush_embs[-1],) * (P - len(flush_embs))
         all_emb = np.asarray(_concat_rows(padded))
     else:
         all_emb = np.asarray(flush_embs[0])
+    prof["final_fetch_s"] = time.perf_counter() - t0
+    LAST_PROFILE.update(prof)
     off = 0
     for idxs, w in zip(flush_idx, flush_width):
         for j, i in enumerate(idxs):

@@ -26,6 +26,8 @@ TPU design:
   off the running-stat buffers and gated off the backbone while frozen,
   matching torch Adam's handling of buffers / requires_grad=False.
 """
+import os
+from collections import OrderedDict
 from functools import partial
 from typing import Optional
 
@@ -54,6 +56,59 @@ from pd_fusion.ops.image import (
 )
 from pd_fusion.utils.io import load_pickle, save_pickle
 from pd_fusion.utils.seed import fresh_key
+
+
+class _SliceCache:
+    """Byte-budgeted LRU of prepped slice bags, shared ACROSS model
+    instances (and therefore across CV folds).
+
+    A CV run constructs a fresh MilAttentionFineTuneModel per fold, so an
+    instance-local cache makes every fold re-read + re-prep every NIfTI
+    from scratch — K x N host prep passes for N fold-invariant arrays
+    (the reference re-loads per epoch AND per fold,
+    reference models/mil_attention_finetune.py:114-125,183). The prepped
+    slices are a pure function of (path, target_shape, axes, counts), so
+    sharing them across folds is exact. NOTE the backbone EMBEDDINGS are
+    NOT cacheable across steps even while the backbone is frozen: the
+    reference keeps BN in train mode (`self.backbone.train()`,
+    reference :181) and augments every train-time load (:122-124), so
+    frozen-epoch embeddings depend on the batch composition and the
+    augmentation draw — in the reference too. Budget via
+    PD_FUSION_SLICE_CACHE_MB (default 8192; 0 disables sharing and
+    restores the per-instance behavior)."""
+
+    def __init__(self):
+        self._d: OrderedDict = OrderedDict()
+        self._bytes = 0
+
+    def _budget(self) -> int:
+        return int(float(os.environ.get("PD_FUSION_SLICE_CACHE_MB", "8192")) * 2**20)
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def put(self, key, arr) -> None:
+        budget = self._budget()
+        if budget <= 0 or arr.nbytes > budget:
+            return
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._bytes -= old.nbytes
+        self._d[key] = arr
+        self._bytes += arr.nbytes
+        while self._bytes > budget and self._d:
+            _, ev = self._d.popitem(last=False)
+            self._bytes -= ev.nbytes
+
+    def clear(self) -> None:
+        self._d.clear()
+        self._bytes = 0
+
+
+SLICE_CACHE = _SliceCache()
 
 
 @partial(
@@ -218,9 +273,12 @@ class MilAttentionFineTuneModel(BaseModel):
             return None
         if isinstance(bag, np.ndarray):
             return bag.astype(np.float32, copy=False)
-        key = str(bag)
-        if key in self._slice_cache:
-            return self._slice_cache[key]
+        key = (str(bag), self.target_shape, tuple(self.axes), tuple(self.counts))
+        cached = self._slice_cache.get(key)
+        if cached is None:
+            cached = SLICE_CACHE.get(key)  # cross-fold: prior folds' preps
+        if cached is not None:
+            return cached
         from pd_fusion.imaging import native
         from pd_fusion.imaging.pipeline import load_volume
 
@@ -230,7 +288,8 @@ class MilAttentionFineTuneModel(BaseModel):
             vol = percentile_normalize(vol)
             parts = [take_slices(vol, ax, ct) for ax, ct in zip(self.axes, self.counts)]
             slices = np.asarray(jnp.concatenate(parts, axis=0))
-        self._slice_cache[key] = slices
+        self._slice_cache[key] = slices  # instance-local: survives a 0 budget
+        SLICE_CACHE.put(key, slices)
         return slices
 
     def _pad_batch(self, slice_list):

@@ -284,6 +284,80 @@ def test_mil_finetune_smoke(synthetic_dataset):
     assert p2[1] == pytest.approx(m.missing_prob)
 
 
+def test_mil_finetune_cross_fold_slice_cache(synthetic_dataset, monkeypatch):
+    """VERDICT r3 #4: prepped slice bags are shared ACROSS model instances
+    (CV creates a fresh model per fold; before this each fold re-read and
+    re-prepped every NIfTI). Exactness: the cache returns the same arrays,
+    so a second "fold" triggers ZERO loads and produces identical slices.
+    Keyed by (path, target_shape, axes, counts) — a different prep config
+    must NOT hit. PD_FUSION_SLICE_CACHE_MB=0 restores per-instance
+    behavior. (Backbone EMBEDDINGS are deliberately NOT cached: the
+    reference augments train-time loads and keeps BN in train mode even
+    while frozen — reference models/mil_attention_finetune.py:122-124,181
+    — so frozen-epoch embeddings are batch-dependent by spec.)"""
+    import pd_fusion.models.mil_attention_finetune as mft
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    bags = df["t1wbrain_path"].tolist()
+
+    cfg = {"backbone": "resnet18", "pretrained": False,
+           "target_shape": (16, 16, 16), "slice_axis": 2, "slice_count": 4,
+           "input_size": 32}
+
+    calls = {"n": 0}
+    real_load = mft.MilAttentionFineTuneModel._load_bag_slices
+
+    def counting_load(self, bag):
+        if bag is not None and not isinstance(bag, np.ndarray):
+            key = (str(bag), self.target_shape, tuple(self.axes), tuple(self.counts))
+            if key not in self._slice_cache and mft.SLICE_CACHE.get(key) is None:
+                calls["n"] += 1
+        return real_load(self, bag)
+
+    monkeypatch.setattr(mft.MilAttentionFineTuneModel, "_load_bag_slices", counting_load)
+    mft.SLICE_CACHE.clear()
+
+    m1 = mft.MilAttentionFineTuneModel(cfg)
+    s1 = [m1._load_bag_slices(b) for b in bags]
+    assert calls["n"] == len(bags)
+
+    m2 = mft.MilAttentionFineTuneModel(cfg)  # "fold 2"
+    s2 = [m2._load_bag_slices(b) for b in bags]
+    assert calls["n"] == len(bags), "fold 2 must not re-prep any volume"
+    for a, b in zip(s1, s2):
+        assert a is b  # exact: same array object via the shared cache
+
+    # different prep config -> different key -> real loads
+    m3 = mft.MilAttentionFineTuneModel({**cfg, "slice_count": 3})
+    m3._load_bag_slices(bags[0])
+    assert calls["n"] == len(bags) + 1
+
+    # budget 0 disables sharing (per-instance cache still works)
+    monkeypatch.setenv("PD_FUSION_SLICE_CACHE_MB", "0")
+    mft.SLICE_CACHE.clear()
+    m4 = mft.MilAttentionFineTuneModel(cfg)
+    m4._load_bag_slices(bags[0])
+    n_after = calls["n"]
+    m5 = mft.MilAttentionFineTuneModel(cfg)
+    m5._load_bag_slices(bags[0])
+    assert calls["n"] == n_after + 1  # no cross-instance sharing
+    m4._load_bag_slices(bags[0])
+    assert calls["n"] == n_after + 1  # instance-local cache unaffected
+
+    # LRU eviction respects the byte budget
+    monkeypatch.setenv("PD_FUSION_SLICE_CACHE_MB", str(2 * s1[0].nbytes / 2**20))
+    mft.SLICE_CACHE.clear()
+    m6 = mft.MilAttentionFineTuneModel(cfg)
+    for b in bags[:3]:
+        m6._load_bag_slices(b)
+    k0 = (str(bags[0]), m6.target_shape, tuple(m6.axes), tuple(m6.counts))
+    k2 = (str(bags[2]), m6.target_shape, tuple(m6.axes), tuple(m6.counts))
+    assert mft.SLICE_CACHE.get(k0) is None  # evicted
+    assert mft.SLICE_CACHE.get(k2) is not None
+    mft.SLICE_CACHE.clear()
+
+
 def test_mil_finetune_bn_stats_and_freeze_semantics(synthetic_dataset):
     """torch-.train() parity: BN running stats EMA-update every step (even
     while the backbone is gradient-frozen), and a frozen backbone's
