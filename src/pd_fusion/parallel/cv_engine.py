@@ -50,6 +50,7 @@ from pd_fusion.nn.mlp import mlp_init
 from pd_fusion.nn.moe import moe_apply, moe_init
 from pd_fusion.nn.trainer import fullbatch_impl, minibatch_moddrop_impl
 from pd_fusion.nn.mlp import mlp_apply
+from pd_fusion.ops import isotonic as dev_isotonic
 from pd_fusion.ops import metrics as dev_metrics
 from pd_fusion.utils.seed import fresh_key
 
@@ -170,6 +171,19 @@ def _cv_program_moe_probs(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va,
     return jnp.concatenate([probs_scen.reshape(K, -1), probs_cal], axis=1)
 
 
+@partial(jax.jit, static_argnames=("epochs", "weight_decay"))
+def _cv_program_moe_cal(params_stack, x_tr, m_tr, y_tr, w_tr, x_va, m_va, x_cal,
+                        m_cal, ycal, calmask, y_va, w_va, lr, epochs, weight_decay):
+    """Calibrated MoE CV in ONE dispatch: train + raw probs (same inputs
+    as _cv_program_moe_probs) + device isotonic + packed metrics."""
+    trained = _moe_vmapped(params_stack, x_tr, m_tr, y_tr, w_tr, lr, epochs, weight_decay)
+    probs_scen = jax.vmap(
+        lambda p, xs, ms: jax.vmap(lambda x, m: moe_apply(p, x, m))(xs, ms)
+    )(trained, x_va, m_va)
+    probs_cal = jax.vmap(moe_apply)(trained, x_cal, m_cal)
+    return _iso_cal_metrics_pack(probs_scen, probs_cal, ycal, calmask, y_va, w_va)
+
+
 def _packed_mlp_eval(trained, Xs, yv, wv):
     """predict + all metrics + pack into ONE buffer: a single device
     program whose single output array is fetched with one relay round
@@ -245,14 +259,88 @@ def _cv_program_moddrop_probs(params_stack, X, y, w, assign, keys, Xs, Xc, lr, e
     return _probs_with_calib(trained, Xs, Xc)
 
 
-def _probs_with_calib(trained, Xs, Xc):
-    """[K, S*Nv + Nc] buffer: scenario probs then calibration-set probs."""
+def _probs_scen_cal(trained, Xs, Xc):
+    """Raw scenario probs [K, S, Nv] + calibration-set probs [K, Nc]."""
     probs_scen = jax.vmap(
         lambda p, xs: jax.vmap(lambda x: jax.nn.sigmoid(mlp_apply(p, x)))(xs)
     )(trained, Xs)
     probs_cal = jax.vmap(lambda p, x: jax.nn.sigmoid(mlp_apply(p, x)))(trained, Xc)
+    return probs_scen, probs_cal
+
+
+def _probs_with_calib(trained, Xs, Xc):
+    """[K, S*Nv + Nc] buffer: scenario probs then calibration-set probs
+    (host-isotonic fallback layout)."""
+    probs_scen, probs_cal = _probs_scen_cal(trained, Xs, Xc)
     K = probs_scen.shape[0]
     return jnp.concatenate([probs_scen.reshape(K, -1), probs_cal], axis=1)
+
+
+def _iso_cal_metrics_pack(probs_scen, probs_cal, ycal, calmask, yv, wv):
+    """Device isotonic calibration (fit per fold on the calibration probs,
+    transform every fold x scenario prob) + all K x S metrics + pack —
+    the whole calibrated tail runs in-program, so a calibrated CV is ONE
+    dispatch + ONE fetch (the host-sklearn PAV fallback costs a second
+    round trip; ops/isotonic.py documents the max-min PAV lowering)."""
+    K, S, nv = probs_scen.shape
+    calibrated = jax.vmap(dev_isotonic.isotonic_fit_transform)(
+        probs_cal, ycal, calmask, probs_scen.reshape(K, S * nv)
+    ).reshape(K, S, nv)
+    md = jax.vmap(jax.vmap(dev_metrics.binary_metrics))(yv, calibrated, wv)
+    return dev_metrics.pack_metrics_and_probs(md, calibrated)
+
+
+@partial(jax.jit, static_argnames=("epochs", "dropout", "weight_decay"))
+def _cv_program_fullbatch_cal(params_stack, X, y, w, keys, Xs, Xc, ycal, calmask,
+                              yv, wv, lr, epochs, dropout, weight_decay):
+    """Calibrated CV in ONE dispatch: train all folds + isotonic fit +
+    transform + all metrics, packed."""
+    trained = _fullbatch_vmapped(params_stack, X, y, w, keys, lr, epochs, dropout, weight_decay)
+    return _iso_cal_metrics_pack(*_probs_scen_cal(trained, Xs, Xc), ycal, calmask, yv, wv)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "epochs", "batch_size", "dropout", "weight_decay", "moddrop_rate", "per_sample",
+    ),
+)
+def _cv_program_moddrop_cal(params_stack, X, y, w, assign, keys, Xs, Xc, ycal,
+                            calmask, yv, wv, lr, epochs, batch_size, dropout,
+                            weight_decay, moddrop_rate, per_sample):
+    trained = _moddrop_vmapped(
+        params_stack, X, y, w, assign, keys, lr, epochs, batch_size, dropout,
+        weight_decay, moddrop_rate, per_sample,
+    )
+    return _iso_cal_metrics_pack(*_probs_scen_cal(trained, Xs, Xc), ycal, calmask, yv, wv)
+
+
+@jax.jit
+def _eval_cal_packed_mlp(trained, Xs, Xc, ycal, calmask, yv, wv):
+    """Mesh-path calibrated eval: probs + device isotonic + metrics in one
+    (unsharded) program following the sharded training program."""
+    return _iso_cal_metrics_pack(*_probs_scen_cal(trained, Xs, Xc), ycal, calmask, yv, wv)
+
+
+def _pad_cal_targets(ycal_list):
+    """[K, Nc_max] labels + validity mask for the device isotonic fit."""
+    K = len(ycal_list)
+    nc_max = max(len(y) for y in ycal_list)
+    ycal = np.zeros((K, nc_max), np.float32)
+    calmask = np.zeros((K, nc_max), bool)
+    for i, y in enumerate(ycal_list):
+        ycal[i, : len(y)] = y
+        calmask[i, : len(y)] = True
+    return jnp.asarray(ycal), jnp.asarray(calmask)
+
+
+def _use_device_isotonic(ycal_list) -> bool:
+    """Device isotonic is the default; the host-sklearn fallback covers
+    huge calibration sets (the max-min lowering builds an Nc^2 buffer)
+    and PD_FUSION_HOST_ISOTONIC=1 for A/B."""
+    if os.environ.get("PD_FUSION_HOST_ISOTONIC") == "1":
+        return False
+    return max(len(y) for y in ycal_list) <= dev_isotonic.MAX_DEVICE_N
 
 
 @jax.jit
@@ -330,6 +418,37 @@ def _cv_program_gbdt_probs(
     K = m_eval.shape[0]
     return jnp.concatenate(
         [jax.nn.sigmoid(m_eval).reshape(K, -1), jax.nn.sigmoid(m_cal)], axis=1
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rounds", "depth", "lr", "lam", "mcw", "mcs", "hist_mode"),
+)
+def _cv_program_gbdt_cal(
+    bins_tr, y_tr, w_tr, base, bins_va, bins_cal, ycal, calmask, yv, wv, *,
+    n_rounds, depth, lr, lam, mcw, mcs, hist_mode
+):
+    """Calibrated device-GBDT CV in ONE dispatch: vmapped ensembles +
+    device isotonic on the calibration margins + packed metrics."""
+    from pd_fusion.nn.gbdt import predict_margin, train_gbdt
+
+    def train_one(b, y, w, bs):
+        return train_gbdt(
+            b, y, w, bs, n_rounds=n_rounds, depth=depth, lr=lr, lam=lam,
+            min_child_weight=mcw, min_child_samples=mcs, hist_mode=hist_mode,
+        )
+
+    trees = jax.vmap(train_one)(bins_tr, y_tr, w_tr, base)
+
+    def pred_fold(t, bva, bc, bs):
+        m_eval = jax.vmap(lambda b: predict_margin(t, b, bs, depth=depth))(bva)
+        m_cal = predict_margin(t, bc, bs, depth=depth)
+        return m_eval, m_cal
+
+    m_eval, m_cal = jax.vmap(pred_fold)(trees, bins_va, bins_cal, base)
+    return _iso_cal_metrics_pack(
+        jax.nn.sigmoid(m_eval), jax.nn.sigmoid(m_cal), ycal, calmask, yv, wv
     )
 
 
@@ -662,7 +781,41 @@ def run_parallel_cv(config, df, masks, folds, eval_config, fold_masks=None, fold
             bool(params_cfg.get("moddrop_per_sample", False)),
         )
 
-    if do_calibrate:
+    if do_calibrate and _use_device_isotonic(ycal_list):
+        # ONE dispatch + ONE fetch for the whole calibrated CV: the
+        # isotonic fit/transform runs in-program (ops/isotonic.py)
+        Xc_stack, _ = _pad_stack(Xcal_list)
+        ycal_j, calmask_j = _pad_cal_targets(ycal_list)
+        cal_eval = (
+            jnp.asarray(Xs_stack), jnp.asarray(Xc_stack), ycal_j, calmask_j,
+            jnp.asarray(yv_rep), jnp.asarray(wv_rep),
+        )
+        if mesh is None:
+            if is_moddrop:
+                packed = np.asarray(
+                    _cv_program_moddrop_cal(
+                        params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1],
+                        *cal_eval, *md_hp,
+                    )
+                )
+            else:
+                packed = np.asarray(
+                    _cv_program_fullbatch_cal(
+                        params_stack, X_stack, y_stack, w_tr, keys, *cal_eval,
+                        lr, epochs, dropout, wd,
+                    )
+                )
+        else:
+            if is_moddrop:
+                trained = _train_folds_moddrop(
+                    params_stack, X_stack, y_stack, w_tr, md_args[0], md_args[1], *md_hp
+                )
+            else:
+                trained = _train_folds_fullbatch(
+                    params_stack, X_stack, y_stack, w_tr, keys, lr, epochs, dropout, wd
+                )
+            packed = np.asarray(_eval_cal_packed_mlp(trained, *cal_eval))
+    elif do_calibrate:
         # pad calibration sets to a common width for the stacked program
         Xc_stack, _ = _pad_stack(Xcal_list)
         n_cal = [len(y) for y in ycal_list]
@@ -854,23 +1007,33 @@ def _run_parallel_cv_moe(
             nc = n_cal[i]
             x_cal[i, :, :nc] = stack_dict(Xd_cal, nc)
             m_cal[i, :nc] = np.stack([cmask[m] for m in mods], axis=1)
-        buf = np.asarray(
-            _cv_program_moe_probs(
-                *train_args, jnp.asarray(x_va), jnp.asarray(m_va),
-                jnp.asarray(x_cal), jnp.asarray(m_cal), *hp,
+        if _use_device_isotonic(ycal_list):
+            ycal_j, calmask_j = _pad_cal_targets(ycal_list)
+            packed = np.asarray(
+                _cv_program_moe_cal(
+                    *train_args, jnp.asarray(x_va), jnp.asarray(m_va),
+                    jnp.asarray(x_cal), jnp.asarray(m_cal), ycal_j, calmask_j,
+                    jnp.asarray(y_va), jnp.asarray(w_va), *hp,
+                )
+            )  # ONE dispatch + ONE fetch incl. the isotonic calibration
+        else:
+            buf = np.asarray(
+                _cv_program_moe_probs(
+                    *train_args, jnp.asarray(x_va), jnp.asarray(m_va),
+                    jnp.asarray(x_cal), jnp.asarray(m_cal), *hp,
+                )
             )
-        )
-        raw_probs = buf[:, : S * n_va_max].reshape(K, S, n_va_max)
-        cal_probs = buf[:, S * n_va_max:]
-        calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
-        calibrated = np.empty_like(raw_probs)
-        for i, iso in enumerate(calibrators):
-            calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, n_va_max)
-        packed = np.asarray(
-            _metrics_from_probs_packed(
-                jnp.asarray(calibrated), jnp.asarray(y_va), jnp.asarray(w_va)
+            raw_probs = buf[:, : S * n_va_max].reshape(K, S, n_va_max)
+            cal_probs = buf[:, S * n_va_max:]
+            calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
+            calibrated = np.empty_like(raw_probs)
+            for i, iso in enumerate(calibrators):
+                calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, n_va_max)
+            packed = np.asarray(
+                _metrics_from_probs_packed(
+                    jnp.asarray(calibrated), jnp.asarray(y_va), jnp.asarray(w_va)
+                )
             )
-        )
     else:
         packed = np.asarray(
             _cv_program_moe(
@@ -1064,23 +1227,38 @@ def _run_parallel_cv_gbdt(
         bins_cal_j = jnp.asarray(bins_cal)
         if mesh is not None:
             bins_cal_j = jax.device_put(bins_cal_j, fold_only)
-        buf = np.asarray(
-            _cv_program_gbdt_probs(
-                bins_tr_j, y_tr_j, w_tr_j, base_arr, bins_va_j, bins_cal_j, **hp,
+        if _use_device_isotonic(ycal_list):
+            ycal_j, calmask_j = _pad_cal_targets(ycal_list)
+            yv_j, wv_j = jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+            if mesh is not None:
+                ycal_j = jax.device_put(ycal_j, fold_only)
+                calmask_j = jax.device_put(calmask_j, fold_only)
+                yv_j = jax.device_put(yv_j, fold_only)
+                wv_j = jax.device_put(wv_j, fold_only)
+            packed = np.asarray(
+                _cv_program_gbdt_cal(
+                    bins_tr_j, y_tr_j, w_tr_j, base_arr, bins_va_j, bins_cal_j,
+                    ycal_j, calmask_j, yv_j, wv_j, **hp,
+                )
+            )  # ONE dispatch + ONE fetch incl. the isotonic calibration
+        else:
+            buf = np.asarray(
+                _cv_program_gbdt_probs(
+                    bins_tr_j, y_tr_j, w_tr_j, base_arr, bins_va_j, bins_cal_j, **hp,
+                )
             )
-        )
-        raw_probs = buf[:, : S * nv_max].reshape(K, S, nv_max)
-        cal_probs = buf[:, S * nv_max:]
-        n_cal = [len(y) for y in ycal_list]
-        calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
-        calibrated = np.empty_like(raw_probs)
-        for i, iso in enumerate(calibrators):
-            calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, nv_max)
-        packed = np.asarray(
-            _metrics_from_probs_packed(
-                jnp.asarray(calibrated), jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+            raw_probs = buf[:, : S * nv_max].reshape(K, S, nv_max)
+            cal_probs = buf[:, S * nv_max:]
+            n_cal = [len(y) for y in ycal_list]
+            calibrators = _fit_isotonic_per_fold(cal_probs, ycal_list, n_cal)
+            calibrated = np.empty_like(raw_probs)
+            for i, iso in enumerate(calibrators):
+                calibrated[i] = iso.transform(raw_probs[i].ravel()).reshape(S, nv_max)
+            packed = np.asarray(
+                _metrics_from_probs_packed(
+                    jnp.asarray(calibrated), jnp.asarray(yv_rep), jnp.asarray(wv_rep)
+                )
             )
-        )
     else:
         yv_j, wv_j = jnp.asarray(yv_rep), jnp.asarray(wv_rep)
         if mesh is not None:
