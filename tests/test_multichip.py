@@ -191,3 +191,74 @@ print(f"MESH_GBDT_EQUIV_OK max|prob diff|={worst_p:.2e} max|metric diff|={worst_
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "MESH_GBDT_EQUIV_OK" in out.stdout
+
+
+def test_parallel_calibrated_cv_shards_over_virtual_mesh():
+    """Calibrated mesh path (device isotonic): mesh-on routes through the
+    sharded trainers + _eval_cal_packed_mlp (train and eval-calibrate as
+    two programs), mesh-off through the fused one-dispatch calibrated
+    program. Probs and metrics must agree fold-for-fold — a sharding bug
+    in the isotonic segment-sums or the packed calibrated probs would
+    break this."""
+    code = """
+import sys
+sys.path.insert(0, "src")
+import numpy as np
+from pd_fusion.utils.logging import setup_logging
+setup_logging("ERROR")
+from pd_fusion.experiments.run_experiment import run_cv_pipeline
+import shutil, yaml
+from pd_fusion.paths import RUNS_DIR
+import pandas as pd
+
+base = {"model_type": "fusion_moddrop", "calibrate": True,
+        "nested_calibration": False, "calibration_split": 0.25,
+        "params": {"hidden_dims": [16], "dropout": 0.1, "lr": 0.01,
+                   "batch_size": 32, "epochs": 10, "moddrop_rate": 0.3}}
+folds, preds = {}, {}
+for mode, mesh in (("on", "auto"), ("off", "off")):
+    run_id = f"pytest_mesh_cal_{mode}"
+    agg = run_cv_pipeline(
+        "configs/quickstart.yaml", k=4, synthetic=True,
+        overrides={**base, "output_dir": run_id, "cv_mesh": mesh},
+    )
+    folds[mode] = [yaml.safe_load(open(RUNS_DIR / run_id / f"results_fold_{i}.yaml"))
+                   for i in (1, 2, 3, 4)]
+    preds[mode] = [pd.read_csv(RUNS_DIR / run_id / f"preds_fold_{i}_full_observation.csv")
+                   for i in (1, 2, 3, 4)]
+    auc = agg["full_observation"]["roc_auc"]["mean"]
+    assert 0.4 < auc <= 1.0, auc
+    shutil.rmtree(RUNS_DIR / run_id, ignore_errors=True)
+
+# isotonic quantizes probs into flat blocks, so ulp train-drift between
+# the two program shapes either vanishes (same block) or steps a whole
+# knot; the bands below hold both layers (same rationale as the
+# uncalibrated mesh test, plus isotonic's step structure)
+worst_p = 0.0
+for po, px in zip(preds["on"], preds["off"]):
+    assert (po["y_true"].values == px["y_true"].values).all()
+    worst_p = max(worst_p, float(np.max(np.abs(po["y_prob"].values - px["y_prob"].values))))
+assert worst_p < 2e-2, worst_p
+worst_m = 0.0
+for fo, fx in zip(folds["on"], folds["off"]):
+    for scen in fo:
+        if scen == "fold":
+            continue
+        for metric, v in fo[scen].items():
+            d = abs(v - fx[scen][metric])
+            worst_m = max(worst_m, d)
+            assert d < 5e-2, (scen, metric, v, fx[scen][metric])
+print(f"MESH_CAL_EQUIV_OK max|prob diff|={worst_p:.2e} max|metric diff|={worst_m:.2e}")
+"""
+    env = {k: v for k, v in os.environ.items()}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = str(REPO / "src")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MESH_CAL_EQUIV_OK" in out.stdout
