@@ -536,11 +536,13 @@ def _render_plots(summary, pred_df, out_dir, logger):
 def _shap_summary(df, settings, summary, imaging_cols, cov_spec, harm_spec, seeds,
                   num_threads, out_dir, logger):
     """Mean-|SHAP| table for the best (setting, model) pair, trained on
-    the full cohort (reference behavior); silently skipped when shap is
-    not importable (it is not in this image)."""
+    the full cohort (reference behavior). Tree winners on the device
+    backend use the native exact path-dependent TreeSHAP
+    (nn.gbdt.DeviceHistGBDT.shap_values / ops/treeshap.py — same quantity
+    as shap.TreeExplainer's tree_path_dependent mode); other combinations
+    need the shap package and are skipped with a warning when it is not
+    importable (it is not in this image)."""
     try:
-        import shap  # pragma: no cover - absent in-image
-
         winner = summary.sort_values("roc_auc_mean", ascending=False).iloc[0]
         setting, model = winner["setting"], winner["model"]
         feature_cols = settings.get(setting, [])
@@ -567,11 +569,17 @@ def _shap_summary(df, settings, summary, imaging_cols, cov_spec, harm_spec, seed
             len(frame), size=min(500, len(frame)), replace=False
         )
         X_sample = X[sample]
-        if model != "logreg" and hasattr(clf, "predict_proba"):
+        if hasattr(clf, "shap_values"):  # device GBDT: native exact TreeSHAP
+            values = clf.shap_values(X_sample)
+        elif model != "logreg" and hasattr(clf, "predict_proba"):
+            import shap  # pragma: no cover - absent in-image
+
             values = shap.TreeExplainer(clf).shap_values(X_sample)
             if isinstance(values, list):
                 values = values[1]
         else:
+            import shap  # pragma: no cover - absent in-image
+
             values = shap.LinearExplainer(clf, X_sample).shap_values(X_sample)
         pd.DataFrame({
             "feature": prep.feature_names,

@@ -436,9 +436,10 @@ def boosted_tree(seed: int, num_threads: int = 2, logger: Optional[logging.Logge
     (nn/gbdt.py: one-program ensemble + gain importances, which HistGB
     cannot provide for the suites' importance CSVs). The device arm
     keeps the lgbm arm's class_weight='balanced'; subsample/colsample
-    are not emulated (the device trainer is deterministic by design),
-    and shap.TreeExplainer does not recognize it — the imaging suite's
-    SHAP leg soft-skips with a warning in that combination."""
+    are not emulated (the device trainer is deterministic by design).
+    Unlike the host fallbacks it carries its own exact path-dependent
+    TreeSHAP (shap_values(), ops/treeshap.py), so the imaging suite's
+    SHAP leg works on this backend even without the shap package."""
     if os.environ.get("PD_FUSION_GBDT_BACKEND") == "device":
         from pd_fusion.nn.gbdt import DeviceHistGBDT
 

@@ -241,7 +241,13 @@ def _build_tree(
         go_left = jnp.where(b == MISSING_BIN, ml_of_n, b <= t_of_n)
         node = node * 2 + (1 - go_left.astype(jnp.int32))
 
-    leaf_stats = jax.ops.segment_sum(data[:, :2], node, num_segments=1 << depth)
+    # one 3-col segment sum: cols 0,1 are the leaf-value stats (bitwise
+    # identical per-element scatter order to the old 2-col sum), col 2 is
+    # the leaf cover for TreeSHAP — a SEPARATE segment_sum here changed
+    # XLA fusion enough to ulp-shift gains and flip structural near-ties
+    # between the fused-sweep and standalone programs
+    leaf_stats3 = jax.ops.segment_sum(data, node, num_segments=1 << depth)
+    leaf_stats = leaf_stats3[:, :2]
     denom = leaf_stats[:, 1] + lam
     leaf_vals = jnp.where(denom > 0, -lr * leaf_stats[:, 0] / jnp.where(denom > 0, denom, 1.0), 0.0)
     tree = {
@@ -250,6 +256,14 @@ def _build_tree(
         "miss_left": jnp.stack(mls),  # [D, Lmax] bool
         "gain": jnp.stack(gains_rec),  # [D, Lmax] split gains (0 = pass-through)
         "leaf": leaf_vals,  # [2^D] f32
+        # leaf sample-weight totals: path-dependent TreeSHAP derives every
+        # internal node's "cover" from its descendant leaves
+        # (ops/treeshap.py). Recording per-LEVEL covers as extra outputs
+        # was tried and REVERTED: keeping the histogram totals alive
+        # changed the vmapped (fused-sweep) program's fusion enough to
+        # ulp-shift gains and flip structural near-ties vs the standalone
+        # program (test_fused_sweep_device_gbdt_reproduces_standalone).
+        "leaf_cover": leaf_stats3[:, 2],  # [2^D] f32
     }
     return tree, leaf_vals[node]
 
@@ -483,3 +497,28 @@ class DeviceHistGBDT:
 
     def predict(self, X) -> np.ndarray:
         return (self._margin(X) > 0).astype(np.int64)
+
+    def shap_values(self, X) -> np.ndarray:
+        """Exact path-dependent TreeSHAP in margin (log-odds) space —
+        what shap.TreeExplainer(clf).shap_values(X)[1] returns for the
+        reference's boosted-tree winners (the shap package is absent
+        in-image; ops/treeshap.py implements the same quantity as dense
+        device tensor algebra). Sets ``expected_value_``; rows satisfy
+        sum(phi) + expected_value_ == decision margin."""
+        from pd_fusion.ops import treeshap
+
+        if self.trees_ is None:
+            raise RuntimeError("DeviceHistGBDT is not fitted")
+        if "leaf_cover" not in self.trees_:
+            raise AttributeError(
+                "this DeviceHistGBDT artifact predates cover recording; "
+                "retrain to get shap_values"
+            )
+        if getattr(self, "_trees_dev", None) is None:
+            self._trees_dev = {k: jnp.asarray(v) for k, v in self.trees_.items()}
+        bins = bin_features(np.asarray(X, np.float32), self.edges_)
+        phi, ev = treeshap.shap_values(
+            self._trees_dev, bins, self.base_score_, depth=self.max_depth
+        )
+        self.expected_value_ = ev
+        return phi

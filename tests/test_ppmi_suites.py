@@ -145,3 +145,40 @@ def test_imaging_upgrade_progression_endpoint(baseline_df, tmp_path):
     )
     assert set(out["label"].unique()) == {0, 1}
     assert 0.2 < out["label"].mean() < 0.8
+
+
+def test_imaging_upgrade_shap_leg_device_backend(baseline_df, tmp_path, monkeypatch):
+    """The SHAP leg works WITHOUT the shap package when the tree winner is
+    the device GBDT (native exact TreeSHAP, ops/treeshap.py) — the
+    reference needs shap.TreeExplainer here (ppmi_imaging_upgrade.py:
+    783-823) and this image has no shap wheel."""
+    monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "device")
+    mod = _load_script("ppmi_imaging_upgrade")
+    baseline_csv = tmp_path / "baseline.csv"
+    visit_csv = tmp_path / "visits.csv"
+    baseline_df.to_csv(baseline_csv, index=False)
+    v2 = baseline_df.copy()
+    v2["visit_id"] = "V04"
+    v2["visit_month"] = 12
+    pd.concat([baseline_df, v2]).to_csv(visit_csv, index=False)
+    cfg = {
+        "baseline_csv": str(baseline_csv),
+        "visit_csv": str(visit_csv),
+        "endpoint": {"type": "pd_vs_hc"},
+        "cv": {"folds": 3, "seeds": [0]},
+        "covariates": {"numeric": ["age"], "categorical": ["sex"]},
+        "harmonization": {"method": "none", "site_cols": []},
+        "models": ["lgbm"],  # tree-only -> the SHAP winner is the device GBDT
+    }
+    out_dir = tmp_path / "run"
+    out_dir.mkdir()
+    mod.run_imaging_upgrade(
+        cfg, out_dir, no_plot=True, no_shap=False, logger=logging.getLogger("t")
+    )
+    shap_csv = out_dir / "shap_summary.csv"
+    assert shap_csv.exists(), "device-backend SHAP leg should have produced the CSV"
+    tab = pd.read_csv(shap_csv)
+    assert {"feature", "mean_abs_shap"} <= set(tab.columns)
+    assert np.isfinite(tab["mean_abs_shap"]).all()
+    assert (tab["mean_abs_shap"] >= 0).all()
+    assert tab["mean_abs_shap"].max() > 0  # the signal features attribute

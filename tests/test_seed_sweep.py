@@ -142,7 +142,17 @@ def test_fused_sweep_device_gbdt_reproduces_standalone(tmp_path):
                 tmp_path / "sweep" / f"unimodal_gbdt_s{seed}" /
                 f"preds_fold_{i}_full_observation.csv"
             )
+            # NOT bit-exact by design: exact gain ties are STRUCTURAL in
+            # histogram boosting (PARITY.md session M), and the fused
+            # (S x K)-vmapped and standalone K-vmapped programs lower
+            # reductions differently — which side of a tie wins varies
+            # with backend AND host microarchitecture (this asserted
+            # 1e-6 for months of CPU runs, then a container move to a
+            # different CPU flipped one split at seed 41). A tie flip
+            # early in boosting shifts most probs by ~1e-4-1e-3; a real
+            # seed/fold plumbing bug shifts them by ~1e-1.
             np.testing.assert_allclose(
-                fused["y_prob"].values, np.asarray(fold_preds[i - 1][1]), atol=1e-6,
+                fused["y_prob"].values, np.asarray(fold_preds[i - 1][1]), atol=5e-3,
                 err_msg=f"seed {seed} fold {i}",
             )
+            assert (fused["y_true"].values == np.asarray(fold_preds[i - 1][0])).all()
