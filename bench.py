@@ -49,7 +49,7 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
 sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
 
 # Reference-oracle constants, re-measured repeatedly across round 2 via
@@ -487,7 +487,7 @@ def _cpu_fallback_cv(timeout_s: float = 900.0):
     env["PYTHONPATH"] = str(repo)  # replace: drops the axon sitecustomize dir
     env["JAX_PLATFORMS"] = "cpu"
     env["PD_FUSION_BENCH_CPU_CV"] = "1"
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

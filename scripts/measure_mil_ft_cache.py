@@ -97,7 +97,7 @@ print(json.dumps({"wall_s": round(wall, 2), "fold_aucs": aucs,
 def run(cache_mb, root):
     env = dict(os.environ)
     env["PD_FUSION_SLICE_CACHE_MB"] = str(cache_mb)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/jax_cache"
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(root)], cwd=REPO, env=env,

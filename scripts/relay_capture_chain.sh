@@ -6,7 +6,7 @@
 # Usage: nohup bash scripts/relay_capture_chain.sh > /tmp/capture_chain.log 2>&1 &
 set -u
 cd /root/repo
-export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+export JAX_COMPILATION_CACHE_DIR=/root/jax_cache
 
 # Probe timeout must cover a COLD-cache remote compile (~3 min observed
 # in bad weather); 90 s killed mid-compile forever (and the old assert

@@ -464,6 +464,37 @@ def run_resnet_embedding_pipeline(
     put_dtype = None
     if not raw_mode and os.environ.get("PD_FUSION_PUT_DTYPE", "") in ("f16", "float16"):
         put_dtype = np.float16
+    # Multi-chip data-sharded flush mode (the SPMD equivalent of the
+    # reference's nn.DataParallel in its embedding builders,
+    # build_cnn3d_embeddings.py:123-124): when >1 device is visible,
+    # each flush's [W, L, h, w] subject batch is device_put with a
+    # NamedSharding over the subject axis and the (replicated) backbone
+    # program runs SPMD — XLA splits the B*L image batch across chips.
+    # Host payloads are stacked per flush (one sharded put scatters to
+    # all chips); per-subject async puts only help on the single-chip
+    # relay, where this mode never activates. Equivalence vs the
+    # single-device program is gated in dryrun_multichip (embed=<tol>)
+    # and tests/test_multichip.py. PD_FUSION_EMBED_MESH=0 disables.
+    mesh_sharding = None
+    if (
+        not raw_mode
+        and jax.device_count() > 1
+        and os.environ.get("PD_FUSION_EMBED_MESH", "1") != "0"
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from pd_fusion.utils.device import make_data_mesh
+
+        _mesh = make_data_mesh()
+        _nd = int(_mesh.devices.size)
+        mesh_sharding = NamedSharding(_mesh, PartitionSpec("data"))
+        _repl = NamedSharding(_mesh, PartitionSpec())
+        backbone_params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _repl), backbone_params
+        )
+        mean = jax.device_put(mean, _repl)
+        std = jax.device_put(std, _repl)
+        put_group = 0  # grouped puts are a relay-RTT lever; moot under a mesh
     if raw_mode:
 
         def loader(p):
@@ -508,6 +539,11 @@ def run_resnet_embedding_pipeline(
         else 0
     )
     widths = [w for w in (tail_w, B // 2, B) if w] or [B]
+    if mesh_sharding is not None:
+        # every program width must divide evenly across the data mesh so
+        # the sharded subject axis has equal per-device blocks
+        widths = sorted({-(-w // _nd) * _nd for w in widths})
+        B = widths[-1]
 
     def _pad_width(nb: int) -> int:
         for w in widths:
@@ -595,7 +631,15 @@ def run_resnet_embedding_pipeline(
             # prefetcher yielded them — pad the tuple to the program
             # width (repeating the first entry costs no new transfer)
             # and stack/concat ON DEVICE inside the jitted program
-            if put_group:
+            if mesh_sharding is not None:
+                # one sharded put scatters the whole flush across the mesh
+                t0 = time.perf_counter()
+                stack = jax.device_put(
+                    np.stack(list(batch_payload) + [batch_payload[0]] * (W - nb)),
+                    mesh_sharding,
+                )
+                prof["device_put_s"] += time.perf_counter() - t0
+            elif put_group:
                 need = W // put_group
                 stack = tuple(batch_payload) + (batch_payload[0],) * (need - len(batch_payload))
             else:
@@ -661,9 +705,11 @@ def run_resnet_embedding_pipeline(
             if len(pending) == put_group:
                 put_pending()
         else:
-            if not raw_mode:
+            if not raw_mode and mesh_sharding is None:
                 # start the host->device transfer NOW (async): it rides the
                 # relay while the prefetch threads prep the next subjects
+                # (mesh mode keeps payloads on host and ships the whole
+                # flush as one sharded put inside flush())
                 t0 = time.perf_counter()
                 payload = jax.device_put(payload)
                 prof["device_put_s"] += time.perf_counter() - t0

@@ -85,7 +85,13 @@ def isotonic_fit_transform(xc, yc, valid, t):
     # every member — and downstream tie-exact AUC/ECE see those ties.
     # Recover blocks as monotone runs (gap <= tol is "same block") and
     # broadcast each block's exact weighted mean to all members.
-    tol = jnp.asarray(1e-6, dt) * (1.0 + jnp.abs(yhat_seg))
+    # tol bound: measured max |raw max-min - sklearn f64 block mean| is
+    # ~2e-8 relative (200 trials, n up to 1024), so 1e-7 leaves 5x head-
+    # room; the inverse failure (merging two GENUINELY distinct adjacent
+    # blocks closer than tol, creating a tie sklearn does not have) is
+    # bounded by tol itself and pinned by a parity test with blocks
+    # separated by ~1e-6 (test_isotonic_device.py).
+    tol = jnp.asarray(1e-7, dt) * (1.0 + jnp.abs(yhat_seg))
     prev = jnp.concatenate([jnp.full((1,), -inf, dt), yhat_seg[:-1]])
     new_blk = (jnp.arange(n) == 0) | (yhat_seg > prev + tol)
     bid = jnp.cumsum(new_blk) - 1
@@ -130,8 +136,3 @@ def isotonic_fit_transform(xc, yc, valid, t):
     # probs ARE the calibration probs).
     prod = jnp.where(dx > 0, slope * (tclip - x_lo), 0.0)
     return prod + y_lo
-
-
-@partial(jax.jit, static_argnames=())
-def _fit_transform_jit(xc, yc, valid, t):
-    return isotonic_fit_transform(xc, yc, valid, t)

@@ -134,6 +134,13 @@ def shap_values(trees, bins, base_score, *, depth: int):
         )
     bins = np.asarray(bins)
     n, f = bins.shape
+    if n == 0:
+        # expected_value is data-independent; compute it from one
+        # all-zeros probe row instead of leaving ev undefined
+        _, ev0 = _shap_chunk(
+            trees, jnp.zeros((_CHUNK, f), jnp.int32), depth, f
+        )
+        return np.zeros((0, f), np.float32), float(ev0) + float(base_score)
     out = []
     ev = None
     for lo in range(0, n, _CHUNK):

@@ -141,3 +141,21 @@ def test_vmap_over_folds_equals_loop():
         np.testing.assert_allclose(batched[k], one, atol=1e-7)
         ref = _oracle(xc[k][valid[k]], yc[k][valid[k]], t[k])
         np.testing.assert_allclose(batched[k], ref, atol=3e-6)
+
+
+def test_adjacent_blocks_separated_by_1e6_stay_distinct():
+    """ADVICE r4: the tie-repair tol must not merge two GENUINELY
+    distinct adjacent PAV blocks whose means differ by ~1e-6 (the old
+    1e-6 tol did exactly that); with tol=1e-7 the fitted values must
+    match sklearn's two distinct block means (raw max-min wobble vs the
+    f64 block mean is measured at ~2e-8 relative, so 1e-7 is safe)."""
+    gap = np.float32(0.5 + 1e-6) - np.float32(0.5)  # one-ulp-clean tiny gap
+    assert 0 < gap < 1.5e-6
+    # strictly increasing y per unique x -> PAV keeps each x its own block
+    x = np.asarray([0.2, 0.4, 0.6, 0.8], np.float32)
+    y = np.asarray([0.1, 0.5, np.float32(0.5) + gap, 0.9], np.float32)
+    t = x.copy()
+    got = _device(x, y, t)
+    ref = _oracle(x, y, t)
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+    assert got[2] > got[1], (got[1], got[2])  # blocks NOT merged

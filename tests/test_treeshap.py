@@ -133,3 +133,15 @@ def test_depth_gate():
     m = DeviceHistGBDT(n_estimators=2, max_depth=9).fit(X, y)
     with pytest.raises(ValueError, match="depth"):
         m.shap_values(X[:4])
+
+
+def test_empty_input_returns_zero_rows_and_expected_value():
+    """ADVICE r4: n=0 must not crash — returns (0, f) zeros and the same
+    expected_value a non-empty call computes."""
+    X, y = _make_data(11, n=80, f=5)
+    m = DeviceHistGBDT(n_estimators=4, max_depth=3).fit(X, y)
+    ref = m.shap_values(X[:2])  # sets expected_value_ from a real call
+    ev_ref = m.expected_value_
+    phi = m.shap_values(X[:0])
+    assert phi.shape == (0, 5) and phi.dtype == np.float32
+    np.testing.assert_allclose(m.expected_value_, ev_ref, atol=1e-6)
