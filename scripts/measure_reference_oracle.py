@@ -183,9 +183,158 @@ def measure_embed(scale: bool = False) -> float:
     return (N_EMBED_SCALE if scale else N_EMBED) / wall
 
 
+def measure_mil_ft(n: int = 24, k: int = 3) -> dict:
+    """Reference MIL fine-tune CV wall (torch emulation), VERDICT r4 #2.
+
+    Mirrors the reference's training loop step-for-step at the exact
+    shapes scripts/measure_mil_ft_cache.py uses for the repo side
+    (24 subjects x 96^3 int16 vols, 3 folds, 8 slices @96px, bag batch 8,
+    2 epochs with the backbone frozen for the first — reference:
+    src/pd_fusion/models/mil_attention_finetune.py:115-127 (_load_bag:
+    per-BATCH per-EPOCH disk reload + prep + augment), :135-144
+    (_slices_to_tensor), :146-162 (_forward_bags slice-batched backbone),
+    :164-249 (train loop: permute, pad bags, attention head, BCE, Adam).
+
+    Substitutions (identical to the embed legs' methodology): this repo's
+    NIfTI reader for absent nibabel, architecture-identical random-weight
+    torch resnet18 for absent torchvision. Conservative (reference-
+    favoring) deviation: the no-op ndimage.zoom 96^3->96^3 that the
+    reference's _load_volume would still execute is SKIPPED.
+    """
+    import numpy as np
+    import torch
+    import torch.nn as nn
+    from scipy import ndimage
+
+    sys.path.insert(0, str(REPO / "src"))
+    from pd_fusion.imaging.nifti import read_nifti, write_nifti
+    from pd_fusion.utils.torch_utils import build_torch_resnet18
+
+    # same dataset construction as measure_mil_ft_cache.py's child
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mil_ft_oracle_")
+    rng = np.random.RandomState(0)
+    paths, labels = [], []
+    for i in range(n):
+        label = i % 2
+        vol = (rng.rand(96, 96, 96).astype(np.float32) * 400).astype(np.int16)
+        if label:
+            vol[30:60, 30:60, 30:60] += 600
+        p = f"{tmp}/sub-{i:03d}.nii.gz"
+        write_nifti(p, vol)
+        paths.append(p)
+        labels.append(label)
+    y_all = np.asarray(labels, np.float32)
+
+    slice_count, input_size, bag_bs, slice_bs = 8, 96, 8, 16
+    epochs, freeze_epochs = 2, 1
+    mean = torch.tensor([0.5, 0.5, 0.5]).view(1, 3, 1, 1)
+    std = torch.tensor([0.5, 0.5, 0.5]).view(1, 3, 1, 1)
+
+    class MILAttn(nn.Module):
+        # reference models/mil_attention.py:10-52 (ungated path)
+        def __init__(self, d, hidden=32, attn=16, dropout=0.2):
+            super().__init__()
+            self.instance = nn.Sequential(nn.Linear(d, hidden), nn.ReLU(), nn.Dropout(dropout))
+            self.attn = nn.Sequential(nn.Linear(hidden, attn), nn.Tanh(), nn.Linear(attn, 1))
+            self.classifier = nn.Sequential(nn.Linear(hidden, 1), nn.Sigmoid())
+
+        def forward(self, x):
+            h = self.instance(x)
+            w = torch.softmax(self.attn(h).squeeze(-1), dim=1)
+            return self.classifier((w.unsqueeze(-1) * h).sum(1)).squeeze(-1)
+
+    def load_bag(path, train, aug_rng):
+        # _load_volume (no-op zoom skipped) + _normalize_volume_for_resnet
+        # + _select_slices(axis=2) + _augment_slices
+        vol = np.nan_to_num(np.asarray(read_nifti(path), np.float32))
+        m = vol > 0
+        vals = vol[m] if m.any() else vol
+        lo, hi = np.percentile(vals, 1), np.percentile(vals, 99)
+        vol = np.clip(vol, lo, hi)
+        vol = ((vol - lo) / (hi - lo + 1e-6)).astype(np.float32)
+        nz = np.where(np.any(vol > 0, axis=(0, 1)))[0]
+        if len(nz) == 0:
+            nz = np.arange(vol.shape[2])
+        s_lo, s_hi = int(nz[0]), int(nz[-1])
+        cnt = min(slice_count, s_hi - s_lo + 1)
+        idx = np.linspace(s_lo, s_hi, cnt).astype(int)
+        slices = vol[:, :, idx].transpose(2, 0, 1)
+        if train:
+            aug = slices.copy()
+            angle = aug_rng.uniform(-5.0, 5.0)
+            tr = aug_rng.uniform(-0.05, 0.05, size=2) * np.array(aug.shape[1:])
+            theta = np.deg2rad(angle)
+            rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+            center = np.array(aug.shape[1:]) / 2.0
+            offset = center - rot @ center + tr
+            for i in range(aug.shape[0]):
+                aug[i] = ndimage.affine_transform(aug[i], rot, offset=offset, order=1, mode="constant", cval=0.0)
+            aug = aug * (1.0 + aug_rng.uniform(-0.1, 0.1)) + aug_rng.uniform(-0.1, 0.1)
+            aug = aug + aug_rng.normal(0.0, 0.01, size=aug.shape)
+            slices = np.clip(aug, 0.0, 1.0).astype(np.float32)
+        return slices
+
+    def forward_bags(net, bag_paths, train, aug_rng):
+        feats_list = []
+        for p in bag_paths:
+            slices = load_bag(p, train, aug_rng)
+            t = torch.from_numpy(slices).unsqueeze(1).float()
+            t = torch.nn.functional.interpolate(t, size=(input_size, input_size), mode="bilinear", align_corners=False)
+            t = (t.repeat(1, 3, 1, 1) - mean) / std
+            feats = [net(t[i : i + slice_bs]) for i in range(0, t.size(0), slice_bs)]
+            feats_list.append(torch.cat(feats, 0))
+        return torch.stack(feats_list)  # equal-length bags here
+
+    from sklearn.model_selection import StratifiedKFold
+
+    skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=0)
+    t0 = time.time()
+    aucs = []
+    for tr_idx, va_idx in skf.split(np.zeros(n), y_all):
+        torch.manual_seed(0)
+        net = build_torch_resnet18()
+        head = MILAttn(512)
+        opt = torch.optim.Adam(
+            [{"params": net.parameters(), "lr": 1e-4},
+             {"params": head.parameters(), "lr": 3e-4}],
+            weight_decay=1e-3,
+        )
+        crit = nn.BCELoss(reduction="none")
+        aug_rng = np.random.default_rng(0)
+        perm_rng = np.random.RandomState(0)
+        for epoch in range(epochs):
+            net.train(); head.train()
+            trainable = epoch >= freeze_epochs
+            for prm in net.parameters():
+                prm.requires_grad = trainable
+            idxs = perm_rng.permutation(len(tr_idx))
+            for s in range(0, len(idxs), bag_bs):
+                bidx = tr_idx[idxs[s : s + bag_bs]]
+                X = forward_bags(net, [paths[i] for i in bidx], True, aug_rng)
+                preds = head(X)
+                loss = crit(preds, torch.from_numpy(y_all[bidx])).mean()
+                opt.zero_grad(); loss.backward(); opt.step()
+        net.eval(); head.eval()
+        with torch.no_grad():
+            Xv = forward_bags(net, [paths[i] for i in va_idx], False, aug_rng)
+            probs = head(Xv).numpy()
+        from sklearn.metrics import roc_auc_score
+
+        aucs.append(float(roc_auc_score(y_all[va_idx], probs)))
+    wall = time.time() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"REF_MIL_FT_WALL_S": round(wall, 2), "fold_aucs": [round(a, 3) for a in aucs]}
+
+
 def main():
     cli = argparse.ArgumentParser()
-    cli.add_argument("leg", choices=["cv", "cv-scale", "embed", "embed-scale", "all"])
+    cli.add_argument(
+        "leg", choices=["cv", "cv-scale", "embed", "embed-scale", "mil-ft", "all"]
+    )
     args = cli.parse_args()
 
     if args.leg == "all":
@@ -212,6 +361,8 @@ def main():
         out["REF_CV_SCALE_WALL_S"] = round(measure_cv(n_subjects=5000, k=10), 3)
     elif args.leg == "embed-scale":
         out["REF_EMBED_SCALE_RATE"] = round(measure_embed(scale=True), 4)
+    elif args.leg == "mil-ft":
+        out.update(measure_mil_ft())
     else:
         out["REF_EMBED_RATE"] = round(measure_embed(), 4)
     print(json.dumps(out))

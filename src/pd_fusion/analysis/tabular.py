@@ -432,15 +432,19 @@ def with_asymmetry(df: pd.DataFrame, cols: Sequence[str]) -> Tuple[pd.DataFrame,
 def boosted_tree(seed: int, num_threads: int = 2, logger: Optional[logging.Logger] = None):
     """Gradient-boosted classifier, reference hyperparameters, with the
     reference's availability chain (LightGBM, else sklearn HistGB).
-    PD_FUSION_GBDT_BACKEND=device swaps in the TPU-native trainer
-    (nn/gbdt.py: one-program ensemble + gain importances, which HistGB
-    cannot provide for the suites' importance CSVs). The device arm
-    keeps the lgbm arm's class_weight='balanced'; subsample/colsample
-    are not emulated (the device trainer is deterministic by design).
-    Unlike the host fallbacks it carries its own exact path-dependent
-    TreeSHAP (shap_values(), ops/treeshap.py), so the imaging suite's
-    SHAP leg works on this backend even without the shap package."""
-    if os.environ.get("PD_FUSION_GBDT_BACKEND") == "device":
+    The backend resolves via nn.gbdt.resolve_gbdt_backend: on a TPU
+    backend the default is the TPU-native trainer (nn/gbdt.py:
+    one-program ensemble + gain importances, which HistGB cannot provide
+    for the suites' importance CSVs); PD_FUSION_GBDT_BACKEND forces
+    either side. The device arm keeps the lgbm arm's
+    class_weight='balanced'; subsample/colsample are not emulated (the
+    device trainer is deterministic by design). Unlike the host
+    fallbacks it carries its own exact path-dependent TreeSHAP
+    (shap_values(), ops/treeshap.py), so the imaging suite's SHAP leg
+    works on this backend even without the shap package."""
+    from pd_fusion.nn.gbdt import resolve_gbdt_backend
+
+    if resolve_gbdt_backend(None) == "device":
         from pd_fusion.nn.gbdt import DeviceHistGBDT
 
         return DeviceHistGBDT(

@@ -39,7 +39,8 @@ as small as possible. Measured effect on the 16-volume bench leg is
 modest (~0-0.1 s: the 384-image program itself is only ~17 ms of device
 time — the leg is host-prep-bound on this 1-core box), but the split
 costs nothing and matters when device programs are heavier (resnet50,
-TTA, device-prep mode). PD_FUSION_NO_TAIL_SPLIT=1 disables it.
+TTA). Equivalence vs single-width flushing is pinned in
+tests/test_imaging_integration.py.
 """
 import concurrent.futures as cf
 import hashlib
@@ -52,13 +53,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pd_fusion.imaging.nifti import read_nifti
-from pd_fusion.nn.resnet import fold_bn_inference, resnet_apply, resnet_apply_folded
+from pd_fusion.nn.resnet import fold_bn_inference, resnet_apply_folded
 from pd_fusion.ops.image import (
     affine2d_batch,
-    percentile_normalize,
     resize3d,
     slices_to_imagenet_batch,
-    take_slices,
 )
 
 
@@ -201,73 +200,6 @@ class VolumePrefetcher:
                 yield i, vol
 
 
-@partial(
-    jax.jit,
-    static_argnames=("arch", "axes", "counts", "input_size", "per_slice"),
-)
-def embed_volume(
-    backbone_params,
-    raw_vol,
-    mean,
-    std,
-    arch: str,
-    axes: Tuple[int, ...],
-    counts: Tuple[int, ...],
-    input_size: int,
-    per_slice: bool,
-):
-    """Normalized volume -> ResNet embeddings in ONE fused program.
-
-    raw_vol is already resized to the target shape. Returns [n_slices,
-    emb_dim] when per_slice (MIL bags) else mean-pooled [emb_dim].
-    """
-    vol = percentile_normalize(raw_vol)
-    slices = jnp.concatenate(
-        [take_slices(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
-    )
-    batch = slices_to_imagenet_batch(slices, input_size, mean, std)
-    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch)
-    return emb if per_slice else jnp.mean(emb, axis=0)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("arch", "axes", "counts", "input_size", "per_slice"),
-)
-def embed_volume_augmented(
-    backbone_params,
-    raw_vol,
-    mean,
-    std,
-    angle_deg,
-    translate,
-    intensity_scale,
-    intensity_shift,
-    noise,
-    arch: str,
-    axes: Tuple[int, ...],
-    counts: Tuple[int, ...],
-    input_size: int,
-    per_slice: bool,
-):
-    """TTA variant: affine + intensity + additive noise on the slices
-    before embedding (reference augment chain, scripts/
-    build_resnet2d_mil_embeddings.py:124-140). The random draws happen on
-    the host with the reference's exact per-subject rng so TTA parity
-    holds; only the (cheap) scalars and the noise field cross to device.
-    """
-    vol = percentile_normalize(raw_vol)
-    slices = jnp.concatenate(
-        [take_slices(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
-    )
-    slices = affine2d_batch(slices, angle_deg, translate)
-    slices = slices * intensity_scale + intensity_shift
-    slices = jnp.clip(slices + noise, 0.0, 1.0)
-    batch = slices_to_imagenet_batch(slices, input_size, mean, std)
-    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch)
-    return emb if per_slice else jnp.mean(emb, axis=0)
-
-
 SUBJECTS_PER_CALL = 16  # device batch: amortizes dispatch + transfer latency
 # (16 subjects x 24 slices = 384-image MXU batches: measured 51.9% bf16
 # MFU vs 43.3% at 8 subjects — bigger batches amortize weight loads —
@@ -279,51 +211,6 @@ def _concat_rows(chunks):
     """Stitch per-flush embedding blocks into one array on device so the
     pipeline's final readback is a single transfer."""
     return jnp.concatenate(chunks, axis=0)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("arch", "target_shape", "axes", "counts", "input_size", "per_slice"),
-)
-def embed_raw_batch(backbone_params, raw, mean, std, arch: str, target_shape, axes,
-                    counts, input_size: int, per_slice: bool):
-    """[B, X, Y, Z] RAW volumes -> embeddings; resize + percentile
-    normalize + slice select + ResNet all fused on device. Used when the
-    host has no spare cores for prep (host cost collapses to the gz
-    inflate in the native reader)."""
-    def prep(v):
-        vol = percentile_normalize(resize3d(v, target_shape))
-        return jnp.concatenate(
-            [take_slices(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
-        )
-
-    slices = jax.vmap(prep)(raw)  # [B, L, h, w]
-    B, L = slices.shape[:2]
-    batch = slices_to_imagenet_batch(slices.reshape(B * L, *slices.shape[2:]), input_size, mean, std)
-    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch).reshape(B, L, -1)
-    return emb if per_slice else jnp.mean(emb, axis=1)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("arch", "target_shape", "axes", "counts", "input_size", "per_slice"),
-)
-def embed_raw_batch_augmented(backbone_params, raw, mean, std, angle, translate, scale,
-                              shift, noise, arch: str, target_shape, axes, counts,
-                              input_size: int, per_slice: bool):
-    def prep(v):
-        vol = percentile_normalize(resize3d(v, target_shape))
-        return jnp.concatenate(
-            [take_slices(vol, ax, ct) for ax, ct in zip(axes, counts)], axis=0
-        )
-
-    slices = jax.vmap(prep)(raw)
-    B, L = slices.shape[:2]
-    aug = jax.vmap(affine2d_batch)(slices, angle, translate)
-    aug = jnp.clip(aug * scale[:, None, None, None] + shift[:, None, None, None] + noise, 0.0, 1.0)
-    batch = slices_to_imagenet_batch(aug.reshape(B * L, *aug.shape[2:]), input_size, mean, std)
-    emb = resnet_apply_folded(fold_bn_inference(backbone_params, arch), batch, arch).reshape(B, L, -1)
-    return emb if per_slice else jnp.mean(emb, axis=1)
 
 
 @partial(jax.jit, static_argnames=("arch", "input_size", "per_slice", "compute_dtype"))
@@ -401,15 +288,14 @@ def run_resnet_embedding_pipeline(
     """Stream all subjects through the device pipeline. Returns a list of
     embeddings ([emb_dim] or [n_slices, emb_dim] per subject).
 
-    Two host/device splits:
-    - host-prep (default): host threads produce ready slices (native C++
-      read+resize+normalize+select, GIL-free — or numpy mirrors) and the
-      device runs the batched slice->embedding program. Ships ~2.4 MB per
-      subject; host cost scales down linearly with cores.
-    - device-prep (PD_FUSION_DEVICE_PREP=1): host only inflates NIfTI
-      bytes; resize/normalize/slice fuse into the device program. Wins
-      when host->device bandwidth is high and host cores are scarce
-      relative to the percentile sort cost.
+    Host/device split: host threads produce ready slices (native C++
+    read+resize+normalize+select, GIL-free — or numpy mirrors) and the
+    device runs the batched slice->embedding program. Ships ~2.4 MB per
+    subject; host cost scales down linearly with cores. (A device-prep
+    mode that shipped raw volumes and fused resize/normalize/select into
+    the device program was measured slower at every shape on this image
+    and deleted — the fused device prep ops survive in ops/image.py for
+    volume_stats, the CNN3D builder, and MIL fine-tune.)
     """
     import os
 
@@ -434,7 +320,6 @@ def run_resnet_embedding_pipeline(
     }
     h_dim, w_dim = _per_axis_dims[axes_t[0]]
 
-    raw_mode = bool(os.environ.get("PD_FUSION_DEVICE_PREP")) and native.available()
     # Transfer modes, chosen from a live 5-arm A/B on the real TPU relay
     # (scripts/ab_stacked_put.py, 2026-08-19, 16-vol leg, 4 interleaved
     # reps): per_subject min 2.76s / worst 9.78s; grouped4 min 3.12s /
@@ -447,12 +332,10 @@ def run_resnet_embedding_pipeline(
     # [g, L, h, w] device_put each. Cuts relay ops per 16-subject flush
     # from ~17 to ~B/g + 1 while keeping g-granular transfer/prep
     # overlap (per-subject gives up nothing but pays per-op RTT).
-    put_group = 0
-    if not raw_mode:
-        try:
-            put_group = max(0, int(os.environ.get("PD_FUSION_PUT_GROUP", "0")))
-        except ValueError:
-            put_group = 0
+    try:
+        put_group = max(0, int(os.environ.get("PD_FUSION_PUT_GROUP", "0")))
+    except ValueError:
+        put_group = 0
     if put_group == 1:
         put_group = 0  # groups of one == per-subject mode
     # PD_FUSION_PUT_DTYPE=f16: ship slice payloads across the relay as
@@ -462,7 +345,7 @@ def run_resnet_embedding_pipeline(
     # the grouping knob above. Won the 2026-08-19 A/B (min 2.24s vs f32
     # per-subject 2.76s); bench.py runs it as an arm and quotes the min.
     put_dtype = None
-    if not raw_mode and os.environ.get("PD_FUSION_PUT_DTYPE", "") in ("f16", "float16"):
+    if os.environ.get("PD_FUSION_PUT_DTYPE", "") in ("f16", "float16"):
         put_dtype = np.float16
     # Multi-chip data-sharded flush mode (the SPMD equivalent of the
     # reference's nn.DataParallel in its embedding builders,
@@ -477,8 +360,7 @@ def run_resnet_embedding_pipeline(
     # and tests/test_multichip.py. PD_FUSION_EMBED_MESH=0 disables.
     mesh_sharding = None
     if (
-        not raw_mode
-        and jax.device_count() > 1
+        jax.device_count() > 1
         and os.environ.get("PD_FUSION_EMBED_MESH", "1") != "0"
     ):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -495,22 +377,10 @@ def run_resnet_embedding_pipeline(
         mean = jax.device_put(mean, _repl)
         std = jax.device_put(std, _repl)
         put_group = 0  # grouped puts are a relay-RTT lever; moot under a mesh
-    if raw_mode:
-
-        def loader(p):
-            vol = native.read_nifti_native(p)
-            if vol is None:
-                # python-reader fallback; raises with the filename on a
-                # corrupt file instead of letting array(None) crash
-                # opaquely deep in flush()
-                vol = load_volume(p, None)
-            return np.ascontiguousarray(vol)
-
-    else:
-        # wire dtype handled inside the loader: the native tier emits f16
-        # bits straight from its gather epilogue (no astype pass at all);
-        # fallbacks convert in the prefetch worker, not the consume loop
-        loader = make_slices_loader(target_t, axes_t, counts_t, out_dtype=put_dtype)
+    # wire dtype handled inside the loader: the native tier emits f16
+    # bits straight from its gather epilogue (no astype pass at all);
+    # fallbacks convert in the prefetch worker, not the consume loop
+    loader = make_slices_loader(target_t, axes_t, counts_t, out_dtype=put_dtype)
     it = VolumePrefetcher(paths, loader, depth=prefetch_depth)
     if progress:
         try:
@@ -531,13 +401,7 @@ def run_resnet_embedding_pipeline(
     # 12-subject flush it displaces rides under the tail's host prep.
     # Program widths are quantized to {B//4, B//2, B} so at most three
     # batch-size variants ever compile per (per_slice, dtype) combo.
-    # PD_FUSION_NO_TAIL_SPLIT=1 restores single-width flushing (A/B knob)
-    tail_w = (
-        B // 4
-        if n >= SUBJECTS_PER_CALL and B >= 8
-        and not os.environ.get("PD_FUSION_NO_TAIL_SPLIT")
-        else 0
-    )
+    tail_w = B // 4 if n >= SUBJECTS_PER_CALL and B >= 8 else 0
     widths = [w for w in (tail_w, B // 2, B) if w] or [B]
     if mesh_sharding is not None:
         # every program width must divide evenly across the data mesh so
@@ -605,60 +469,38 @@ def run_resnet_embedding_pipeline(
     def flush(batch_idx, batch_payload):
         nb = len(batch_idx)
         W = _pad_width(nb)
-        if raw_mode:
-            shape = batch_payload[0].shape
-            stack = np.zeros((W,) + shape, np.float32)
-            for j, v in enumerate(batch_payload):
-                stack[j] = v
-            if tta <= 1:
-                emb = embed_raw_batch(
-                    backbone_params, stack, mean, std, arch, target_t, axes_t, counts_t,
-                    input_size, per_slice,
-                )
-            else:
-                emb = None
-                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
-                    e = embed_raw_batch_augmented(
-                        backbone_params, stack, mean, std, jnp.asarray(angle),
-                        jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
-                        jnp.asarray(noise), arch, target_t, axes_t, counts_t,
-                        input_size, per_slice,
-                    )
-                    emb = e if emb is None else emb + e
-                emb = emb / tta
+        # subjects (or [g,...] group blocks) were device_put as the
+        # prefetcher yielded them — pad the tuple to the program
+        # width (repeating the first entry costs no new transfer)
+        # and stack/concat ON DEVICE inside the jitted program
+        if mesh_sharding is not None:
+            # one sharded put scatters the whole flush across the mesh
+            t0 = time.perf_counter()
+            stack = jax.device_put(
+                np.stack(list(batch_payload) + [batch_payload[0]] * (W - nb)),
+                mesh_sharding,
+            )
+            prof["device_put_s"] += time.perf_counter() - t0
+        elif put_group:
+            need = W // put_group
+            stack = tuple(batch_payload) + (batch_payload[0],) * (need - len(batch_payload))
         else:
-            # subjects (or [g,...] group blocks) were device_put as the
-            # prefetcher yielded them — pad the tuple to the program
-            # width (repeating the first entry costs no new transfer)
-            # and stack/concat ON DEVICE inside the jitted program
-            if mesh_sharding is not None:
-                # one sharded put scatters the whole flush across the mesh
-                t0 = time.perf_counter()
-                stack = jax.device_put(
-                    np.stack(list(batch_payload) + [batch_payload[0]] * (W - nb)),
-                    mesh_sharding,
+            stack = tuple(batch_payload) + (batch_payload[0],) * (W - nb)
+        if tta <= 1:
+            emb = embed_slices_batch(
+                backbone_params, stack, mean, std, arch, input_size, per_slice,
+                compute_dtype,
+            )
+        else:
+            emb = None
+            for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
+                e = embed_slices_batch_augmented(
+                    backbone_params, stack, mean, std, jnp.asarray(angle),
+                    jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
+                    jnp.asarray(noise), arch, input_size, per_slice,
                 )
-                prof["device_put_s"] += time.perf_counter() - t0
-            elif put_group:
-                need = W // put_group
-                stack = tuple(batch_payload) + (batch_payload[0],) * (need - len(batch_payload))
-            else:
-                stack = tuple(batch_payload) + (batch_payload[0],) * (W - nb)
-            if tta <= 1:
-                emb = embed_slices_batch(
-                    backbone_params, stack, mean, std, arch, input_size, per_slice,
-                    compute_dtype,
-                )
-            else:
-                emb = None
-                for angle, translate, scale, shift, noise in tta_params(batch_idx, nb, W):
-                    e = embed_slices_batch_augmented(
-                        backbone_params, stack, mean, std, jnp.asarray(angle),
-                        jnp.asarray(translate), jnp.asarray(scale), jnp.asarray(shift),
-                        jnp.asarray(noise), arch, input_size, per_slice,
-                    )
-                    emb = e if emb is None else emb + e
-                emb = emb / tta
+                emb = e if emb is None else emb + e
+            emb = emb / tta
         flush_embs.append(emb)
         flush_idx.append(list(batch_idx))
         flush_width.append(W)
@@ -696,16 +538,12 @@ def run_resnet_embedding_pipeline(
         except StopIteration:
             break
         prof["iter_wait_s"] += time.perf_counter() - t0
-        # raw mode batches must share a raw shape (static-shape programs)
-        if raw_mode and batch_payload and payload.shape != batch_payload[0].shape:
-            timed_flush(batch_idx, batch_payload)
-            batch_idx, batch_payload = [], []
         if put_group:
             pending.append(payload)
             if len(pending) == put_group:
                 put_pending()
         else:
-            if not raw_mode and mesh_sharding is None:
+            if mesh_sharding is None:
                 # start the host->device transfer NOW (async): it rides the
                 # relay while the prefetch threads prep the next subjects
                 # (mesh mode keeps payloads on host and ships the whole

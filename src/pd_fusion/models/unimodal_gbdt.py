@@ -7,11 +7,12 @@ reference uses in scripts/ppmi_train_tabular.py:109-142). In this image
 lightgbm/xgboost are absent, so HistGB is the active default; its params
 are translated from the lgbm naming.
 
-Additionally, ``backend: device`` in the model params (or env
-``PD_FUSION_GBDT_BACKEND=device``) selects the TPU-native histogram
-boosting trainer (pd_fusion.nn.gbdt.DeviceHistGBDT) — the whole ensemble
-trains as one compiled XLA program. AUC parity with HistGB is pinned in
-tests/test_device_gbdt.py.
+The backend resolves via ``pd_fusion.nn.gbdt.resolve_gbdt_backend``:
+``backend: auto`` (the default) picks the TPU-native histogram boosting
+trainer (pd_fusion.nn.gbdt.DeviceHistGBDT — the whole ensemble trains as
+one compiled XLA program) on an accelerator and the host chain on CPU;
+``backend: device``/``host`` or PD_FUSION_GBDT_BACKEND force either.
+AUC parity between backends is pinned in tests/test_device_gbdt.py.
 """
 import os
 from pd_fusion.models.base import BaseModel
@@ -63,11 +64,9 @@ class UnimodalGBDT(BaseModel):
     def __init__(self, mod_name, params=None):
         self.mod_name = mod_name
         self.params = dict(params or {})
-        want_device = (
-            self.params.pop("backend", None) == "device"
-            or os.environ.get("PD_FUSION_GBDT_BACKEND") == "device"
-        )
-        if want_device:
+        from pd_fusion.nn.gbdt import resolve_gbdt_backend
+
+        if resolve_gbdt_backend(self.params.pop("backend", None)) == "device":
             from pd_fusion.nn.gbdt import DeviceHistGBDT
 
             self.backend = "device"

@@ -98,6 +98,33 @@ def bin_features(X: np.ndarray, edges: List[np.ndarray]) -> np.ndarray:
 # Device-side training
 # --------------------------------------------------------------------------
 
+def resolve_gbdt_backend(setting: Optional[str]) -> str:
+    """Resolve a GBDT backend setting to 'device' or 'host'.
+
+    ``backend: auto`` (the default since round 5) picks the TPU-native
+    trainer on an accelerator backend and the host chain
+    (lgbm -> xgboost -> HistGB) on CPU, per the live TPU A/B
+    (PARITY sessions O/P, scripts/ab_gbdt_tpu.py): device+onehot beats
+    HistGB ~2x per fit at N=20000 and 3.3x at the bench leg's N=500,
+    while the 1-core host CPU prefers sklearn's C loops. Explicit
+    'device'/'host' settings and the PD_FUSION_GBDT_BACKEND env var
+    (highest precedence) force either side; AUC parity between the two
+    is pinned in tests/test_device_gbdt.py.
+    """
+    env = os.environ.get("PD_FUSION_GBDT_BACKEND", "")
+    if env in ("device", "host"):
+        return env
+    if setting == "device":
+        return "device"
+    if setting in ("host", "histgb", "lightgbm", "xgboost"):
+        return "host"
+    if setting not in (None, "", "auto"):
+        raise ValueError(
+            f"unknown GBDT backend {setting!r} (use 'device', 'host', or 'auto')"
+        )
+    return "device" if jax.default_backend() == "tpu" else "host"
+
+
 def resolve_hist_mode(mode: Optional[str]) -> str:
     """Resolve a hist_mode setting ('scatter' | 'onehot' | 'auto'/None)
     to a concrete lowering for the active backend.

@@ -1090,13 +1090,13 @@ def _run_parallel_cv_moe(
 
 def gbdt_device_backend(config) -> bool:
     """True when the unimodal_gbdt model resolves to the TPU-native
-    trainer (params `backend: device` or PD_FUSION_GBDT_BACKEND=device);
-    only then is the fold axis vmappable — the host HistGB/lightgbm
-    backends stay on the sequential per-fold loop."""
-    return (
-        config.get("params", {}).get("backend") == "device"
-        or os.environ.get("PD_FUSION_GBDT_BACKEND") == "device"
-    )
+    trainer (nn.gbdt.resolve_gbdt_backend: 'auto' default picks device
+    on TPU, host on CPU; params/env force either); only then is the fold
+    axis vmappable — the host HistGB/lightgbm backends stay on the
+    sequential per-fold loop."""
+    from pd_fusion.nn.gbdt import resolve_gbdt_backend
+
+    return resolve_gbdt_backend(config.get("params", {}).get("backend")) == "device"
 
 
 def _run_parallel_cv_gbdt(

@@ -422,10 +422,32 @@ def test_boosted_tree_factory_device_backend(monkeypatch):
     clf.fit(X, y)
     assert clf.predict_proba(X).shape == (150, 2)
     assert clf.feature_importances_.shape == (4,)
-    monkeypatch.delenv("PD_FUSION_GBDT_BACKEND")
+    monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "host")
     from sklearn.ensemble import HistGradientBoostingClassifier
 
     assert isinstance(boosted_tree(seed=3), HistGradientBoostingClassifier)
+
+
+def test_resolve_gbdt_backend_auto_and_forcing(monkeypatch):
+    """backend 'auto' (default) = device on TPU / host on CPU; explicit
+    settings and the env var (highest precedence) force either side."""
+    import jax
+
+    from pd_fusion.nn.gbdt import resolve_gbdt_backend
+
+    monkeypatch.delenv("PD_FUSION_GBDT_BACKEND", raising=False)
+    native = "device" if jax.default_backend() == "tpu" else "host"
+    assert resolve_gbdt_backend(None) == native
+    assert resolve_gbdt_backend("auto") == native
+    assert resolve_gbdt_backend("device") == "device"
+    assert resolve_gbdt_backend("host") == "host"
+    assert resolve_gbdt_backend("lightgbm") == "host"
+    with pytest.raises(ValueError, match="backend"):
+        resolve_gbdt_backend("cuda")
+    monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "host")
+    assert resolve_gbdt_backend("device") == "host"  # env wins
+    monkeypatch.setenv("PD_FUSION_GBDT_BACKEND", "device")
+    assert resolve_gbdt_backend("host") == "device"
 
 
 def test_class_weight_balanced_equals_manual_weights():

@@ -156,8 +156,9 @@ def test_fused_gbdt_scenario_eval_matches_loop(monkeypatch):
         for metric, v in loop[scen].items():
             assert fused[scen][metric] == pytest.approx(v, abs=1e-5), (scen, metric)
 
-    # the host HistGB backend must keep the per-scenario loop
-    h = UnimodalGBDT("clinical", {"n_estimators": 15, "max_depth": 3})
+    # the host HistGB backend must keep the per-scenario loop (pinned:
+    # backend 'auto' resolves to device on TPU)
+    h = UnimodalGBDT("clinical", {"backend": "host", "n_estimators": 15, "max_depth": 3})
     h.train(X, y)
     called["fused"] = 0
     EV.evaluate_model(h, df, masks, prep_info, {"scenarios": SCENARIOS})

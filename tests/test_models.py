@@ -113,7 +113,10 @@ def test_gbdt_fallback_backend():
     from pd_fusion.models.unimodal_gbdt import UnimodalGBDT
 
     X, y = _separable(200, 5, seed=3)
-    m = UnimodalGBDT("clinical", {"n_estimators": 50, "learning_rate": 0.1, "max_depth": 3,
+    # pinned to the host fallback chain (the test's subject); 'auto'
+    # resolves to the device trainer on TPU
+    m = UnimodalGBDT("clinical", {"backend": "host", "n_estimators": 50,
+                                  "learning_rate": 0.1, "max_depth": 3,
                                   "random_state": 0})
     m.train(X, y)
     assert _auc(y, m.predict_proba(X)) > 0.9
