@@ -24,7 +24,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 import numpy as np, pandas as pd
 sys.path.insert(0, "src")
 from pd_fusion.utils.logging import setup_logging
@@ -69,8 +69,10 @@ config = {
     "params": {
         "backbone": "resnet18", "pretrained": False,
         "target_shape": (96, 96, 96), "slice_axis": 2, "slice_count": 8,
-        "input_size": 96, "batch_size": 8, "epochs": 2,
-        "freeze_backbone_epochs": 1, "hidden_dim": 32, "attn_dim": 16,
+        "input_size": 96, "batch_size": 8,
+        "epochs": int(os.environ.get("PD_FUSION_MILFT_EPOCHS", "2")),
+        "freeze_backbone_epochs": int(os.environ.get("PD_FUSION_MILFT_FREEZE", "1")),
+        "hidden_dim": 32, "attn_dim": 16,
         "train_aug": True, "early_stopping_patience": 0,
     },
 }

@@ -183,7 +183,7 @@ def measure_embed(scale: bool = False) -> float:
     return (N_EMBED_SCALE if scale else N_EMBED) / wall
 
 
-def measure_mil_ft(n: int = 24, k: int = 3) -> dict:
+def measure_mil_ft(n: int = 24, k: int = 3, epochs: int = 2, freeze_epochs: int = 1) -> dict:
     """Reference MIL fine-tune CV wall (torch emulation), VERDICT r4 #2.
 
     Mirrors the reference's training loop step-for-step at the exact
@@ -228,7 +228,6 @@ def measure_mil_ft(n: int = 24, k: int = 3) -> dict:
     y_all = np.asarray(labels, np.float32)
 
     slice_count, input_size, bag_bs, slice_bs = 8, 96, 8, 16
-    epochs, freeze_epochs = 2, 1
     mean = torch.tensor([0.5, 0.5, 0.5]).view(1, 3, 1, 1)
     std = torch.tensor([0.5, 0.5, 0.5]).view(1, 3, 1, 1)
 
@@ -335,6 +334,12 @@ def main():
     cli.add_argument(
         "leg", choices=["cv", "cv-scale", "embed", "embed-scale", "mil-ft", "all"]
     )
+    # mil-ft training length; default mirrors measure_mil_ft_cache.py's
+    # 2-epoch smoke shapes. --epochs 30 --freeze 2 reproduces the
+    # reference's OWN production mil-ft config (reference
+    # configs/openneuro_ds001907_resnet2d_mil_ft.yaml:34-36).
+    cli.add_argument("--epochs", type=int, default=2)
+    cli.add_argument("--freeze", type=int, default=1)
     args = cli.parse_args()
 
     if args.leg == "all":
@@ -362,7 +367,10 @@ def main():
     elif args.leg == "embed-scale":
         out["REF_EMBED_SCALE_RATE"] = round(measure_embed(scale=True), 4)
     elif args.leg == "mil-ft":
-        out.update(measure_mil_ft())
+        res = measure_mil_ft(epochs=args.epochs, freeze_epochs=args.freeze)
+        if args.epochs != 2:
+            res[f"REF_MIL_FT{args.epochs}_WALL_S"] = res.pop("REF_MIL_FT_WALL_S")
+        out.update(res)
     else:
         out["REF_EMBED_RATE"] = round(measure_embed(), 4)
     print(json.dumps(out))

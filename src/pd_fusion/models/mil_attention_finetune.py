@@ -28,7 +28,7 @@ TPU design:
 """
 import os
 from collections import OrderedDict
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -111,18 +111,44 @@ class _SliceCache:
 SLICE_CACHE = _SliceCache()
 
 
-@partial(
-    jax.jit,
-    static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"),
-    donate_argnums=(0, 1, 2),  # params/opt_state buffers are dead after the update
-)
-def _ft_step(
+@lru_cache(maxsize=32)
+def _build_tx(max_grad_norm, weight_decay, lr_backbone, lr):
+    """Optimizer chain, shared across model instances with equal
+    hyperparams.
+
+    The transform is stateless (init/update are pure), and its ``update``
+    callable is a STATIC jit argument of _ft_step/_ft_scan — a fresh chain
+    per CV fold gives every fold a distinct static-arg identity, forcing a
+    ~20 s retrace of the resnet fwd+bwd program per fold on this host.
+    Sharing one chain per hyperparam tuple makes folds 2..K pure jit-cache
+    hits (measured 20.2 s -> 0.2 s per fold)."""
+    chain = []
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    if weight_decay > 0:
+        # decay parameters only — torch Adam(weight_decay=..) never
+        # touches BN running-stat buffers
+        chain.append(optax.add_decayed_weights(weight_decay, mask=bn_buffer_mask))
+    chain.append(
+        optax.multi_transform(
+            {
+                "backbone": optax.adam(lr_backbone),
+                "head": optax.adam(lr),
+            },
+            {"backbone": "backbone", "head": "head"},
+        )
+    )
+    return optax.chain(*chain)
+
+
+def _ft_update(
     backbone_params,
     head_params,
     opt_state,
     slices,  # [B, L, h, w] normalized [0,1] slices
     bag_mask,  # [B, L]
     y,  # [B]
+    valid,  # [B] 1.0 for real samples, 0.0 for rows padding a ragged batch
     aug_angle,  # [B]
     aug_translate,  # [B, 2]
     aug_scale,  # [B]
@@ -143,6 +169,15 @@ def _ft_step(
     train_bn: bool,
     head_dropout: float = 0.0,
 ):
+    """One augment->backbone->MIL-head->loss->update step (trace-level).
+
+    The per-sample ``valid`` weights make a ragged final batch exact under
+    a fixed padded shape: sum(x*valid)/sum(valid) over a zero-padded batch
+    equals the reference's mean over the real rows (adding exact zeros and
+    dividing by the true count), so ONE program shape serves every batch
+    of an epoch — the prerequisite for scanning whole epochs into a single
+    dispatch (the reference loops python-side per batch,
+    reference models/mil_attention_finetune.py:164-249)."""
     B, L = slices.shape[:2]
 
     def loss_fn(bp, hp):
@@ -163,13 +198,15 @@ def _ft_step(
         )
         p = jax.nn.sigmoid(logits)
         bce = jax.nn.softplus(logits) - y * logits
+        denom = jnp.sum(valid)
+        denom = jnp.where(denom > 0, denom, 1.0)
         if loss_type == "focal":
             pt = jnp.where(y >= 0.5, p, 1.0 - p)
             focal = (1.0 - pt) ** focal_gamma
             alpha = jnp.where(y >= 0.5, focal_alpha, 1.0 - focal_alpha)
-            return jnp.mean(alpha * focal * bce), bp_with_stats
+            return jnp.sum(alpha * focal * bce * valid) / denom, bp_with_stats
         w = jnp.where(y >= 0.5, pos_weight, 1.0)
-        return jnp.mean(bce * w), bp_with_stats
+        return jnp.sum(bce * w * valid) / denom, bp_with_stats
 
     grads, bp_stats = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
         backbone_params, head_params
@@ -187,6 +224,111 @@ def _ft_step(
     params = optax.apply_updates(params, updates)
     new_backbone = merge_bn_stats(params["backbone"], bp_stats) if train_bn else params["backbone"]
     return new_backbone, params["head"], opt_state
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"),
+    donate_argnums=(0, 1, 2),  # params/opt_state buffers are dead after the update
+)
+def _ft_step(
+    backbone_params,
+    head_params,
+    opt_state,
+    slices,
+    bag_mask,
+    y,
+    aug_angle,
+    aug_translate,
+    aug_scale,
+    aug_shift,
+    noise,
+    mean,
+    std,
+    pos_weight,
+    focal_gamma,
+    focal_alpha,
+    backbone_gate,
+    dropout_key,
+    tx_update,
+    arch: str,
+    gated: bool,
+    input_size: int,
+    loss_type: str,
+    train_bn: bool,
+    head_dropout: float = 0.0,
+):
+    """Single-batch train step (full batch: valid == ones, so the masked
+    sum/count in _ft_update reduces to the same mean)."""
+    return _ft_update(
+        backbone_params, head_params, opt_state, slices, bag_mask, y,
+        jnp.ones(slices.shape[0], slices.dtype), aug_angle, aug_translate,
+        aug_scale, aug_shift, noise, mean, std, pos_weight, focal_gamma,
+        focal_alpha, backbone_gate, dropout_key, tx_update, arch, gated,
+        input_size, loss_type, train_bn, head_dropout,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "gated", "input_size", "loss_type", "train_bn", "tx_update", "head_dropout"),
+    donate_argnums=(0, 1, 2),
+)
+def _ft_scan(
+    backbone_params,
+    head_params,
+    opt_state,
+    slices,  # [S, B, L, h, w]
+    bag_mask,  # [S, B, L]
+    y,  # [S, B]
+    valid,  # [S, B]
+    aug_angle,  # [S, B]
+    aug_translate,  # [S, B, 2]
+    aug_scale,  # [S, B]
+    aug_shift,  # [S, B]
+    noise,  # [S, B, L, h, w]
+    gates,  # [S] 0/1 backbone gradient gate per step
+    dropout_keys,  # [S, 2]
+    mean,
+    std,
+    pos_weight,
+    focal_gamma,
+    focal_alpha,
+    tx_update,
+    arch: str,
+    gated: bool,
+    input_size: int,
+    loss_type: str,
+    train_bn: bool,
+    head_dropout: float = 0.0,
+):
+    """S sequential train steps in ONE program (lax.scan over the batch
+    axis).
+
+    The reference dispatches per bag-batch from python
+    (models/mil_attention_finetune.py:183-218); per-step device round
+    trips cost ~RTT each, which dominates the fine-tune wall at small
+    shapes. Scanning the stacked epoch turns O(steps) dispatches into
+    O(1) per sync point (val-eval / checkpoint epoch boundaries) with
+    bit-identical math per step."""
+
+    def body(carry, xs):
+        bp, hp, opt = carry
+        (sl, bm, yb, vd, aa, at, asc, ash, nz, gate, key) = xs
+        bp, hp, opt = _ft_update(
+            bp, hp, opt, sl, bm, yb, vd, aa, at, asc, ash, nz, mean, std,
+            pos_weight, focal_gamma, focal_alpha, gate, key, tx_update,
+            arch, gated, input_size, loss_type, train_bn, head_dropout,
+        )
+        return (bp, hp, opt), None
+
+    (backbone_params, head_params, opt_state), _ = jax.lax.scan(
+        body,
+        (backbone_params, head_params, opt_state),
+        (slices, bag_mask, y, valid, aug_angle, aug_translate, aug_scale,
+         aug_shift, noise, gates, dropout_keys),
+    )
+    return backbone_params, head_params, opt_state
 
 
 @partial(jax.jit, static_argnames=("arch", "gated", "input_size"))
@@ -245,25 +387,12 @@ class MilAttentionFineTuneModel(BaseModel):
             self.gated,
         )
 
-        chain = []
-        max_grad_norm = p.get("max_grad_norm")
-        if max_grad_norm:
-            chain.append(optax.clip_by_global_norm(float(max_grad_norm)))
-        wd = float(p.get("weight_decay", 1e-3))
-        if wd > 0:
-            # decay parameters only — torch Adam(weight_decay=..) never
-            # touches BN running-stat buffers
-            chain.append(optax.add_decayed_weights(wd, mask=bn_buffer_mask))
-        chain.append(
-            optax.multi_transform(
-                {
-                    "backbone": optax.adam(float(p.get("lr_backbone", 1e-4))),
-                    "head": optax.adam(float(p.get("lr", 3e-4))),
-                },
-                {"backbone": "backbone", "head": "head"},
-            )
+        self.tx = _build_tx(
+            float(max_grad_norm) if (max_grad_norm := p.get("max_grad_norm")) else None,
+            float(p.get("weight_decay", 1e-3)),
+            float(p.get("lr_backbone", 1e-4)),
+            float(p.get("lr", 3e-4)),
         )
-        self.tx = optax.chain(*chain)
         self.opt_state = None
         self._slice_cache = {}
 
@@ -371,6 +500,72 @@ class MilAttentionFineTuneModel(BaseModel):
                     self.opt_state = state["opt_state"]
                     start_epoch = int(state["epoch"]) + 1
 
+        # ---- epoch-scan dispatch plumbing --------------------------------
+        # Steps accumulate host-side and flush as ONE _ft_scan program per
+        # sync point (val-eval epoch, checkpoint epoch, byte budget, end of
+        # training). Per-batch dispatch cost ~relay-RTT each made the
+        # fine-tune wall dispatch-bound (43 s vs the reference emulation's
+        # 31 s at the mil-ft oracle shapes); scanning the same math into
+        # one program removes O(steps) round trips.
+        no_scan = os.environ.get("PD_FUSION_FT_NO_SCAN", "0") == "1"
+        budget_bytes = float(os.environ.get("PD_FUSION_FT_SCAN_MB", "512")) * 2**20
+        pending = []  # (bidx, slice_list, gate) in step order
+        pending_bytes = 0
+        bs = self.bag_batch_size
+        step_kw = dict(
+            tx_update=self.tx.update,
+            arch=self.backbone_name,
+            gated=self.gated,
+            input_size=self.input_size,
+            loss_type=self.loss_type,
+            train_bn=True,
+            head_dropout=float(self.params.get("dropout", 0.2)),
+        )
+        scalars = (
+            jnp.asarray(self.mean), jnp.asarray(self.std), pos_weight,
+            np.float32(self.focal_gamma), focal_alpha,
+        )
+
+        def _flush():
+            nonlocal pending, pending_bytes
+            if not pending:
+                return
+            S = len(pending)
+            L = max(
+                s.shape[0]
+                for _, sl, _ in pending
+                for s in sl
+                if s is not None
+            )
+            h, w = next(
+                s.shape[1:] for _, sl, _ in pending for s in sl if s is not None
+            )
+            X = np.zeros((S, bs, L, h, w), np.float32)
+            bag_mask = np.zeros((S, bs, L), np.float32)
+            yb = np.zeros((S, bs), np.float32)
+            valid = np.zeros((S, bs), np.float32)
+            gates = np.zeros(S, np.float32)
+            augs = []
+            for si, (bidx, sl, gate) in enumerate(pending):
+                for r, (i, s) in enumerate(zip(bidx, sl)):
+                    valid[si, r] = 1.0  # None bags count toward the mean too
+                    yb[si, r] = y[i]
+                    if s is None:
+                        continue
+                    X[si, r, : s.shape[0]] = s
+                    bag_mask[si, r, : s.shape[0]] = 1.0
+                gates[si] = gate
+                augs.append(self._aug_params(bs, L, h, w, rng, self.train_aug))
+            keys = jnp.stack([fresh_key() for _ in range(S)])
+            stacked_aug = tuple(np.stack([a[j] for a in augs]) for j in range(5))
+            self.backbone_params, self.head_params, self.opt_state = _ft_scan(
+                self.backbone_params, self.head_params, self.opt_state,
+                X, bag_mask, yb, valid, *stacked_aug, gates, keys,
+                *scalars, **step_kw,
+            )
+            pending = []
+            pending_bytes = 0
+
         # initial_best -1.0: exception epochs (auc -> -1.0) never improve,
         # so a never-valid val set keeps stop-time params (reference
         # mil_attention_finetune.py:169-252 best_state-is-None path)
@@ -408,34 +603,29 @@ class MilAttentionFineTuneModel(BaseModel):
                 slice_list = [self._load_bag_slices(bags[i]) for i in bidx]
                 if all(s is None for s in slice_list):
                     continue
-                X, bag_mask = self._pad_batch(slice_list)
-                B, L, h, w = X.shape
-                aug = self._aug_params(B, L, h, w, rng, self.train_aug)
-                self.backbone_params, self.head_params, self.opt_state = _ft_step(
-                    self.backbone_params,
-                    self.head_params,
-                    self.opt_state,
-                    X,
-                    bag_mask,
-                    y[bidx],
-                    *aug,
-                    jnp.asarray(self.mean),
-                    jnp.asarray(self.std),
-                    pos_weight,
-                    np.float32(self.focal_gamma),
-                    focal_alpha,
-                    gate,
-                    fresh_key(),
-                    self.tx.update,
-                    self.backbone_name,
-                    self.gated,
-                    self.input_size,
-                    self.loss_type,
-                    True,
-                    float(self.params.get("dropout", 0.2)),
-                )
+                if no_scan:
+                    X, bag_mask = self._pad_batch(slice_list)
+                    B, L, h, w = X.shape
+                    aug = self._aug_params(B, L, h, w, rng, self.train_aug)
+                    self.backbone_params, self.head_params, self.opt_state = _ft_step(
+                        self.backbone_params, self.head_params, self.opt_state,
+                        X, bag_mask, y[bidx], *aug, *scalars, gate,
+                        fresh_key(), **step_kw,
+                    )
+                    continue
+                pending.append((bidx, slice_list, gate))
+                real = [s for s in slice_list if s is not None]
+                L_i = max(s.shape[0] for s in real)
+                pending_bytes += 2 * bs * L_i * real[0].shape[1] * real[0].shape[2] * 4
+                if pending_bytes >= budget_bytes:
+                    _flush()
 
-            if ckpt_dir and ckpt_every and (epoch + 1) % ckpt_every == 0:
+            needs_ckpt = ckpt_dir and ckpt_every and (epoch + 1) % ckpt_every == 0
+            needs_val = val_data is not None and patience > 0
+            if needs_ckpt or needs_val or epoch == epochs - 1:
+                _flush()
+
+            if needs_ckpt:
                 save_checkpoint(
                     ckpt_dir,
                     {"backbone": self.backbone_params, "head": self.head_params,
@@ -443,7 +633,7 @@ class MilAttentionFineTuneModel(BaseModel):
                     step=epoch,
                 )
 
-            if val_data is not None and patience > 0:
+            if needs_val:
                 val_bags, y_val = val_data
                 try:
                     from sklearn.metrics import roc_auc_score
@@ -460,6 +650,7 @@ class MilAttentionFineTuneModel(BaseModel):
                 ):
                     break
 
+        _flush()  # safety: no-op unless a loop path skipped its sync flush
         if stopper.best_state is not None:
             self.backbone_params, self.head_params = stopper.best_state
 
