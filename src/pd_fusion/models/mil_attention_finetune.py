@@ -149,6 +149,8 @@ def _ft_update(
     bag_mask,  # [B, L]
     y,  # [B]
     valid,  # [B] 1.0 for real samples, 0.0 for rows padding a ragged batch
+    bn_mask,  # [B, L] 1.0 where the (bag, slice) position existed in the
+    # unpadded batch — BN batch statistics are restricted to these images
     aug_angle,  # [B]
     aug_translate,  # [B, 2]
     aug_scale,  # [B]
@@ -174,9 +176,11 @@ def _ft_update(
     The per-sample ``valid`` weights make a ragged final batch exact under
     a fixed padded shape: sum(x*valid)/sum(valid) over a zero-padded batch
     equals the reference's mean over the real rows (adding exact zeros and
-    dividing by the true count), so ONE program shape serves every batch
-    of an epoch — the prerequisite for scanning whole epochs into a single
-    dispatch (the reference loops python-side per batch,
+    dividing by the true count), and ``bn_mask`` restricts the train-mode
+    BN batch statistics to the images the unpadded batch contained — so
+    ONE program shape serves every batch of an epoch, padding-exactly:
+    the prerequisite for scanning whole epochs into a single dispatch
+    (the reference loops python-side per batch,
     reference models/mil_attention_finetune.py:164-249)."""
     B, L = slices.shape[:2]
 
@@ -188,7 +192,9 @@ def _ft_update(
             # torch .train() semantics: batch-stat normalization AND an EMA
             # running-stat update every forward (even while the backbone's
             # weights are gradient-frozen)
-            emb, bp_with_stats = resnet_apply_train(bp, batch, arch)
+            emb, bp_with_stats = resnet_apply_train(
+                bp, batch, arch, sample_weight=bn_mask.reshape(B * L)
+            )
         else:
             emb = resnet_apply(bp, batch, arch, train=False)
             bp_with_stats = bp
@@ -258,11 +264,12 @@ def _ft_step(
     train_bn: bool,
     head_dropout: float = 0.0,
 ):
-    """Single-batch train step (full batch: valid == ones, so the masked
-    sum/count in _ft_update reduces to the same mean)."""
+    """Single-batch train step (full batch: valid/bn_mask == ones, so the
+    masked sum/count in _ft_update reduces to the same mean)."""
     return _ft_update(
         backbone_params, head_params, opt_state, slices, bag_mask, y,
-        jnp.ones(slices.shape[0], slices.dtype), aug_angle, aug_translate,
+        jnp.ones(slices.shape[0], slices.dtype),
+        jnp.ones(slices.shape[:2], slices.dtype), aug_angle, aug_translate,
         aug_scale, aug_shift, noise, mean, std, pos_weight, focal_gamma,
         focal_alpha, backbone_gate, dropout_key, tx_update, arch, gated,
         input_size, loss_type, train_bn, head_dropout,
@@ -282,6 +289,7 @@ def _ft_scan(
     bag_mask,  # [S, B, L]
     y,  # [S, B]
     valid,  # [S, B]
+    bn_mask,  # [S, B, L]
     aug_angle,  # [S, B]
     aug_translate,  # [S, B, 2]
     aug_scale,  # [S, B]
@@ -314,10 +322,10 @@ def _ft_scan(
 
     def body(carry, xs):
         bp, hp, opt = carry
-        (sl, bm, yb, vd, aa, at, asc, ash, nz, gate, key) = xs
+        (sl, bm, yb, vd, bnm, aa, at, asc, ash, nz, gate, key) = xs
         bp, hp, opt = _ft_update(
-            bp, hp, opt, sl, bm, yb, vd, aa, at, asc, ash, nz, mean, std,
-            pos_weight, focal_gamma, focal_alpha, gate, key, tx_update,
+            bp, hp, opt, sl, bm, yb, vd, bnm, aa, at, asc, ash, nz, mean,
+            std, pos_weight, focal_gamma, focal_alpha, gate, key, tx_update,
             arch, gated, input_size, loss_type, train_bn, head_dropout,
         )
         return (bp, hp, opt), None
@@ -325,8 +333,8 @@ def _ft_scan(
     (backbone_params, head_params, opt_state), _ = jax.lax.scan(
         body,
         (backbone_params, head_params, opt_state),
-        (slices, bag_mask, y, valid, aug_angle, aug_translate, aug_scale,
-         aug_shift, noise, gates, dropout_keys),
+        (slices, bag_mask, y, valid, bn_mask, aug_angle, aug_translate,
+         aug_scale, aug_shift, noise, gates, dropout_keys),
     )
     return backbone_params, head_params, opt_state
 
@@ -501,12 +509,16 @@ class MilAttentionFineTuneModel(BaseModel):
                     start_epoch = int(state["epoch"]) + 1
 
         # ---- epoch-scan dispatch plumbing --------------------------------
-        # Steps accumulate host-side and flush as ONE _ft_scan program per
-        # sync point (val-eval epoch, checkpoint epoch, byte budget, end of
-        # training). Per-batch dispatch cost ~relay-RTT each made the
-        # fine-tune wall dispatch-bound (43 s vs the reference emulation's
-        # 31 s at the mil-ft oracle shapes); scanning the same math into
-        # one program removes O(steps) round trips.
+        # Steps accumulate host-side (batch tensors padded to the program
+        # shape AND their augmentation draws, taken in per-batch order so
+        # the RNG stream is identical at every flush granularity) and
+        # flush as ONE _ft_scan program per sync point (val-eval epoch,
+        # checkpoint epoch, byte budget, end of training). Per-batch
+        # dispatch cost ~relay-RTT each made the fine-tune wall
+        # dispatch-bound (43 s vs the reference emulation's 31 s at the
+        # mil-ft oracle shapes); scanning the same math into one program
+        # removes O(steps) round trips. PD_FUSION_FT_NO_SCAN=1 flushes
+        # after every batch (per-batch dispatch, same math).
         no_scan = os.environ.get("PD_FUSION_FT_NO_SCAN", "0") == "1"
         budget_bytes = float(os.environ.get("PD_FUSION_FT_SCAN_MB", "512")) * 2**20
         pending = []  # (bidx, slice_list, gate) in step order
@@ -531,37 +543,41 @@ class MilAttentionFineTuneModel(BaseModel):
             if not pending:
                 return
             S = len(pending)
-            L = max(
-                s.shape[0]
-                for _, sl, _ in pending
-                for s in sl
-                if s is not None
-            )
-            h, w = next(
-                s.shape[1:] for _, sl, _ in pending for s in sl if s is not None
-            )
+            # steps were padded to [bs, L_i] at append time (batch-exact
+            # shapes, same RNG draw order as per-batch stepping); here the
+            # slice axis is zero-padded to the flush max — bn_mask stays
+            # zero there, so the extra padding is statistics-inert
+            L = max(st["X"].shape[1] for st in pending)
+            h, w = pending[0]["X"].shape[2:]
             X = np.zeros((S, bs, L, h, w), np.float32)
             bag_mask = np.zeros((S, bs, L), np.float32)
+            bn_mask = np.zeros((S, bs, L), np.float32)
+            noise = np.zeros((S, bs, L, h, w), np.float32)
             yb = np.zeros((S, bs), np.float32)
             valid = np.zeros((S, bs), np.float32)
             gates = np.zeros(S, np.float32)
-            augs = []
-            for si, (bidx, sl, gate) in enumerate(pending):
-                for r, (i, s) in enumerate(zip(bidx, sl)):
-                    valid[si, r] = 1.0  # None bags count toward the mean too
-                    yb[si, r] = y[i]
-                    if s is None:
-                        continue
-                    X[si, r, : s.shape[0]] = s
-                    bag_mask[si, r, : s.shape[0]] = 1.0
-                gates[si] = gate
-                augs.append(self._aug_params(bs, L, h, w, rng, self.train_aug))
-            keys = jnp.stack([fresh_key() for _ in range(S)])
-            stacked_aug = tuple(np.stack([a[j] for a in augs]) for j in range(5))
+            angle = np.zeros((S, bs), np.float32)
+            trans = np.zeros((S, bs, 2), np.float32)
+            scale = np.zeros((S, bs), np.float32)
+            shift = np.zeros((S, bs), np.float32)
+            for si, st in enumerate(pending):
+                Li = st["X"].shape[1]
+                X[si, :, :Li] = st["X"]
+                bag_mask[si, :, :Li] = st["mask"]
+                bn_mask[si, :, :Li] = st["valid"][:, None]
+                noise[si, :, :Li] = st["noise"]
+                yb[si] = st["y"]
+                valid[si] = st["valid"]
+                gates[si] = st["gate"]
+                angle[si] = st["angle"]
+                trans[si] = st["trans"]
+                scale[si] = st["scale"]
+                shift[si] = st["shift"]
+            keys = jnp.stack([st["key"] for st in pending])
             self.backbone_params, self.head_params, self.opt_state = _ft_scan(
                 self.backbone_params, self.head_params, self.opt_state,
-                X, bag_mask, yb, valid, *stacked_aug, gates, keys,
-                *scalars, **step_kw,
+                X, bag_mask, yb, valid, bn_mask, angle, trans, scale, shift,
+                noise, gates, keys, *scalars, **step_kw,
             )
             pending = []
             pending_bytes = 0
@@ -603,21 +619,34 @@ class MilAttentionFineTuneModel(BaseModel):
                 slice_list = [self._load_bag_slices(bags[i]) for i in bidx]
                 if all(s is None for s in slice_list):
                     continue
-                if no_scan:
-                    X, bag_mask = self._pad_batch(slice_list)
-                    B, L, h, w = X.shape
-                    aug = self._aug_params(B, L, h, w, rng, self.train_aug)
-                    self.backbone_params, self.head_params, self.opt_state = _ft_step(
-                        self.backbone_params, self.head_params, self.opt_state,
-                        X, bag_mask, y[bidx], *aug, *scalars, gate,
-                        fresh_key(), **step_kw,
+                # every batch runs at the [bs, L_i] program shape: ragged
+                # final batches pad rows (valid mask keeps the loss mean
+                # and — via bn_mask — the BN statistics batch-exact), so
+                # one shape serves the epoch and `no_scan` differs from
+                # scanning ONLY in dispatch granularity
+                Xb, maskb = self._pad_batch(slice_list)
+                B, L_i, h, w = Xb.shape
+                if B < bs:
+                    Xb = np.concatenate(
+                        [Xb, np.zeros((bs - B, L_i, h, w), np.float32)]
                     )
-                    continue
-                pending.append((bidx, slice_list, gate))
-                real = [s for s in slice_list if s is not None]
-                L_i = max(s.shape[0] for s in real)
-                pending_bytes += 2 * bs * L_i * real[0].shape[1] * real[0].shape[2] * 4
-                if pending_bytes >= budget_bytes:
+                    maskb = np.concatenate(
+                        [maskb, np.zeros((bs - B, L_i), np.float32)]
+                    )
+                validb = np.zeros(bs, np.float32)
+                validb[:B] = 1.0  # None bags count toward the mean too
+                yb = np.zeros(bs, np.float32)
+                yb[:B] = y[bidx]
+                aug = self._aug_params(bs, L_i, h, w, rng, self.train_aug)
+                pending.append(
+                    dict(
+                        X=Xb, mask=maskb, valid=validb, y=yb, angle=aug[0],
+                        trans=aug[1], scale=aug[2], shift=aug[3],
+                        noise=aug[4], gate=gate, key=fresh_key(),
+                    )
+                )
+                pending_bytes += 2 * Xb.nbytes
+                if no_scan or pending_bytes >= budget_bytes:
                     _flush()
 
             needs_ckpt = ckpt_dir and ckpt_every and (epoch + 1) % ckpt_every == 0

@@ -184,14 +184,27 @@ def emb_dim(arch: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _bn_train(x, p, momentum):
+def _bn_train(x, p, momentum, w=None):
     """Batch-stat normalization + EMA running-stat update. Matches torch
     BatchNorm2d train mode exactly: normalize with biased batch variance,
-    update running_var with the UNBIASED estimate, momentum 0.1 default."""
-    mean = jnp.mean(x, axis=(0, 1, 2))
-    var = jnp.var(x, axis=(0, 1, 2))
-    n = x.shape[0] * x.shape[1] * x.shape[2]
-    unbiased = var * (n / max(n - 1, 1))
+    update running_var with the UNBIASED estimate, momentum 0.1 default.
+
+    ``w`` (optional, [N] 0/1 per-image weights) restricts the batch
+    statistics to the weighted images, so batches padded to a fixed
+    program shape compute the SAME statistics as the unpadded batch —
+    the padded images are still normalized (their outputs are masked
+    downstream) but contribute nothing to mean/var or the EMA."""
+    if w is None:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+    else:
+        wb = w[:, None, None, None]
+        n = jnp.sum(w) * (x.shape[1] * x.shape[2])
+        mean = jnp.sum(x * wb, axis=(0, 1, 2)) / n
+        var = jnp.sum(jnp.square(x - mean) * wb, axis=(0, 1, 2)) / n
+        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
     new_p = dict(
         p,
         mean=(1.0 - momentum) * p["mean"] + momentum * mean,
@@ -201,52 +214,54 @@ def _bn_train(x, p, momentum):
     return (x - mean) * inv * p["gamma"] + p["beta"], new_p
 
 
-def _basic_block_train(x, p, stride, momentum):
+def _basic_block_train(x, p, stride, momentum, w=None):
     new_p = dict(p)
     identity = x
     out = _conv(x, p["conv1"]["w"], stride=stride)
-    out, new_p["bn1"] = _bn_train(out, p["bn1"], momentum)
+    out, new_p["bn1"] = _bn_train(out, p["bn1"], momentum, w)
     out = jax.nn.relu(out)
     out = _conv(out, p["conv2"]["w"], stride=1)
-    out, new_p["bn2"] = _bn_train(out, p["bn2"], momentum)
+    out, new_p["bn2"] = _bn_train(out, p["bn2"], momentum, w)
     if "downsample" in p:
         identity, ds_bn = _bn_train(
-            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum
+            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum, w
         )
         new_p["downsample"] = dict(p["downsample"], bn=ds_bn)
     return jax.nn.relu(out + identity), new_p
 
 
-def _bottleneck_block_train(x, p, stride, momentum):
+def _bottleneck_block_train(x, p, stride, momentum, w=None):
     new_p = dict(p)
     identity = x
-    out, new_p["bn1"] = _bn_train(_conv(x, p["conv1"]["w"], stride=1), p["bn1"], momentum)
+    out, new_p["bn1"] = _bn_train(_conv(x, p["conv1"]["w"], stride=1), p["bn1"], momentum, w)
     out = jax.nn.relu(out)
-    out, new_p["bn2"] = _bn_train(_conv(out, p["conv2"]["w"], stride=stride), p["bn2"], momentum)
+    out, new_p["bn2"] = _bn_train(_conv(out, p["conv2"]["w"], stride=stride), p["bn2"], momentum, w)
     out = jax.nn.relu(out)
-    out, new_p["bn3"] = _bn_train(_conv(out, p["conv3"]["w"], stride=1), p["bn3"], momentum)
+    out, new_p["bn3"] = _bn_train(_conv(out, p["conv3"]["w"], stride=1), p["bn3"], momentum, w)
     if "downsample" in p:
         identity, ds_bn = _bn_train(
-            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum
+            _conv(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"], momentum, w
         )
         new_p["downsample"] = dict(p["downsample"], bn=ds_bn)
     return jax.nn.relu(out + identity), new_p
 
 
-def resnet_apply_train(params, x, arch: str = "resnet18", momentum: float = 0.1):
+def resnet_apply_train(params, x, arch: str = "resnet18", momentum: float = 0.1, sample_weight=None):
     """Train-mode forward returning (embeddings, params-with-updated-BN-
     running-stats). Mirrors the reference backbone running in torch
     ``.train()`` mode, where every forward updates running stats
     (reference: models/mil_attention_finetune.py:147-151 via module
     train-mode defaults). Blocks are rematerialized as in
-    ``resnet_apply(train=True)``."""
+    ``resnet_apply(train=True)``. ``sample_weight`` ([N] 0/1) restricts
+    every BN batch statistic to the weighted images (see ``_bn_train``)
+    so shape-padded batches are statistics-exact."""
     cfg = _CONFIGS[arch]
     block_fn = _basic_block_train if cfg["block"] == "basic" else _bottleneck_block_train
     block_fn = jax.checkpoint(block_fn, static_argnums=(2, 3))
 
     new_params = dict(params)
     out = _conv(x, params["conv1"]["w"], stride=2, padding=((3, 3), (3, 3)))
-    out, new_params["bn1"] = _bn_train(out, params["bn1"], momentum)
+    out, new_params["bn1"] = _bn_train(out, params["bn1"], momentum, sample_weight)
     out = jax.nn.relu(out)
     out = jax.lax.reduce_window(
         out,
@@ -260,7 +275,7 @@ def resnet_apply_train(params, x, arch: str = "resnet18", momentum: float = 0.1)
         new_blocks = []
         for bi, block in enumerate(params[f"layer{li + 1}"]):
             stride = 2 if (li > 0 and bi == 0) else 1
-            out, nb = block_fn(out, block, stride, momentum)
+            out, nb = block_fn(out, block, stride, momentum, sample_weight)
             new_blocks.append(nb)
         new_params[f"layer{li + 1}"] = new_blocks
     return jnp.mean(out, axis=(1, 2)), new_params

@@ -284,6 +284,69 @@ def test_mil_finetune_smoke(synthetic_dataset):
     assert p2[1] == pytest.approx(m.missing_prob)
 
 
+def test_mil_finetune_scan_matches_per_batch(synthetic_dataset, monkeypatch):
+    """The epoch-scan dispatch (_ft_scan, one lax.scan program per sync
+    point) must reproduce per-batch stepping (PD_FUSION_FT_NO_SCAN=1)
+    step-for-step: same math, only the dispatch granularity differs.
+
+    batch_size 5 over 12 bags makes every epoch end in a RAGGED batch —
+    row padding + valid/bn_mask must keep the loss mean AND the BN batch
+    statistics exact, and augmentation draws happen at append time in
+    per-batch order, so the RNG stream is identical between modes.
+    default_rng is pinned so both runs draw the same permutations/
+    augmentations. Bands are loose-ulp only (program-shape fusion
+    differences between scan lengths), not semantic."""
+    import pd_fusion.models.mil_attention_finetune as mft
+    from pd_fusion.utils.seed import set_seed
+
+    root, manifest = synthetic_dataset
+    df = pd.read_csv(manifest)
+    bags = df["t1wbrain_path"].tolist()
+    y = df["label"].values
+    assert len(bags) % 5 != 0  # ragged final batch is the point
+
+    cfg = {
+        "backbone": "resnet18",
+        "pretrained": False,
+        "target_shape": (16, 16, 16),
+        "slice_axis": 2,
+        "slice_count": 4,
+        "input_size": 32,
+        "batch_size": 5,
+        "epochs": 2,
+        "freeze_backbone_epochs": 1,  # gate flips mid-scan
+        "hidden_dim": 32,
+        "attn_dim": 16,
+        "train_aug": True,
+        "max_grad_norm": 5.0,
+    }
+
+    def run(no_scan: bool):
+        monkeypatch.setenv("PD_FUSION_FT_NO_SCAN", "1" if no_scan else "0")
+        monkeypatch.setattr(
+            mft.np.random, "default_rng", lambda *a: np.random.Generator(np.random.PCG64(7))
+        )
+        set_seed(0)
+        m = mft.MilAttentionFineTuneModel(dict(cfg))
+        m.train(bags, y)
+        probs = m.predict_proba(bags, {"mri": np.ones(len(bags), int)})
+        return m, probs
+
+    m_scan, p_scan = run(no_scan=False)
+    m_step, p_step = run(no_scan=True)
+
+    import jax
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(m_scan.head_params)[0],
+        jax.tree_util.tree_flatten_with_path(m_step.head_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4, err_msg=str(path)
+        )
+    np.testing.assert_allclose(p_scan, p_step, atol=5e-5)
+
+
 def test_mil_finetune_cross_fold_slice_cache(synthetic_dataset, monkeypatch):
     """VERDICT r3 #4: prepped slice bags are shared ACROSS model instances
     (CV creates a fresh model per fold; before this each fold re-read and
