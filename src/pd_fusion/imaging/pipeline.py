@@ -200,10 +200,13 @@ class VolumePrefetcher:
                 yield i, vol
 
 
-SUBJECTS_PER_CALL = 16  # device batch: amortizes dispatch + transfer latency
-# (16 subjects x 24 slices = 384-image MXU batches: measured 51.9% bf16
-# MFU vs 43.3% at 8 subjects — bigger batches amortize weight loads —
-# while resnet50/per-slice memory stays comfortable in 16 GB HBM)
+SUBJECTS_PER_CALL = 32  # device batch: amortizes dispatch + transfer latency
+# (scripts/ab_embed_width.py, interleaved reps on the live v5e: bf16 MFU
+# 40.3% @8 / 49.5% @16 / 51.4% @32 / 50.8% @48 subjects x 24 slices —
+# bigger batches amortize weight loads until ~768 images/program, then
+# flatten; 32 x 24 x 224px f32 is ~51 MB per flush, comfortable in HBM.
+# Runs smaller than SUBJECTS_PER_CALL clamp to n, so small cohorts are
+# unchanged; the tail split quantizes widths to {B//4, B//2, B})
 
 
 @jax.jit
